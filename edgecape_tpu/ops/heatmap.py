@@ -1,0 +1,129 @@
+"""Gaussian keypoint-heatmap rendering.
+
+Behavioral spec comes from the reference MSRA/UDP target generators
+(/root/reference/EdgeCape/datasets/pipelines/top_down_transform.py:113-320),
+but the implementation is fully vectorized over keypoints (numpy host path)
+and batched/jit-able over episodes (jnp device path) — no per-joint Python
+loops, no dynamic windows: the truncated gaussian is a closed-form masked
+expression, which XLA fuses into a single elementwise kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _msra_centers(joints_xy: np.ndarray, feat_stride: np.ndarray) -> np.ndarray:
+    # int(v + 0.5) in the reference truncates toward zero after adding 0.5.
+    return np.trunc(joints_xy / feat_stride + 0.5).astype(np.int64)
+
+
+def render_msra(joints_xy, visible, heatmap_size, image_size, sigma: float):
+    """MSRA truncated-gaussian targets, vectorized.
+
+    Args:
+      joints_xy: [K, 2] keypoint coords in input-image pixels.
+      visible: [K] visibility (>0 means labeled).
+      heatmap_size: (W, H).
+      image_size: (W, H) of the model input.
+      sigma: gaussian sigma in heatmap pixels.
+
+    Returns:
+      target [K, H, W] float32, weight [K, 1] float32.
+
+    Semantics mirrored from the reference (top_down_transform.py:164-199):
+    center snapped to int(x/stride + 0.5); gaussian truncated to a
+    (6*sigma+1)^2 window with peak value 1; weight zeroed when the window
+    falls fully outside the map.
+    """
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    joints_xy = np.asarray(joints_xy, dtype=np.float32)
+    K = joints_xy.shape[0]
+    feat_stride = np.asarray(image_size, dtype=np.float32) / np.array(
+        [W, H], dtype=np.float32)
+    tmp_size = sigma * 3
+
+    mu = _msra_centers(joints_xy[:, :2], feat_stride)  # [K, 2] int
+    ul = mu - int(tmp_size)
+    br = mu + int(tmp_size) + 1
+    in_bounds = ~((ul[:, 0] >= W) | (ul[:, 1] >= H) | (br[:, 0] < 0)
+                  | (br[:, 1] < 0))
+
+    weight = (np.asarray(visible, dtype=np.float32).reshape(K)
+              * in_bounds.astype(np.float32)).reshape(K, 1)
+
+    xs = np.arange(W, dtype=np.float32)[None, None, :]   # [1, 1, W]
+    ys = np.arange(H, dtype=np.float32)[None, :, None]   # [1, H, 1]
+    dx = xs - mu[:, 0].astype(np.float32)[:, None, None]
+    dy = ys - mu[:, 1].astype(np.float32)[:, None, None]
+    g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    window = (np.abs(dx) <= tmp_size) & (np.abs(dy) <= tmp_size)
+    draw = (weight[:, 0] > 0.5)[:, None, None]
+    target = (g * window * draw).astype(np.float32)
+    return target, weight.astype(np.float32)
+
+
+def render_msra_jnp(joints_xy, visible, heatmap_size, image_size,
+                    sigma: float):
+    """Device/batched version of render_msra.
+
+    Args:
+      joints_xy: [..., K, 2], visible: [..., K]. Returns
+      (target [..., K, H, W], weight [..., K, 1]).
+    """
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    feat_stride = jnp.asarray(image_size, dtype=jnp.float32) / jnp.array(
+        [W, H], dtype=jnp.float32)
+    tmp_size = sigma * 3
+
+    mu = jnp.trunc(joints_xy / feat_stride + 0.5)  # [..., K, 2]
+    ul = mu - int(tmp_size)
+    br = mu + int(tmp_size) + 1
+    in_bounds = ~((ul[..., 0] >= W) | (ul[..., 1] >= H) | (br[..., 0] < 0)
+                  | (br[..., 1] < 0))
+    weight = visible.astype(jnp.float32) * in_bounds.astype(jnp.float32)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    dx = xs[None, :] - mu[..., 0][..., None, None]       # [..., K, 1, W] bc
+    dy = ys[:, None] - mu[..., 1][..., None, None]       # [..., K, H, 1]
+    g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    window = (jnp.abs(dx) <= tmp_size) & (jnp.abs(dy) <= tmp_size)
+    draw = (weight > 0.5)[..., None, None]
+    target = g * window * draw
+    return target.astype(jnp.float32), weight[..., None]
+
+
+def render_udp(joints_xy, visible, heatmap_size, image_size, sigma: float):
+    """UDP GaussianHeatMap targets (reference top_down_transform.py:244-286):
+    continuous sub-pixel center, stride (size-1)/(hsize-1)."""
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    joints_xy = np.asarray(joints_xy, dtype=np.float32)
+    K = joints_xy.shape[0]
+    feat_stride = ((np.asarray(image_size, dtype=np.float32) - 1.0)
+                   / (np.array([W, H], dtype=np.float32) - 1.0))
+    tmp_size = sigma * 3
+
+    mu_ac = joints_xy[:, :2] / feat_stride          # continuous center
+    mu = np.trunc(mu_ac + 0.5).astype(np.int64)     # snapped (bounds check)
+    ul = mu - int(tmp_size)
+    br = mu + int(tmp_size) + 1
+    in_bounds = ~((ul[:, 0] >= W) | (ul[:, 1] >= H) | (br[:, 0] < 0)
+                  | (br[:, 1] < 0))
+    weight = (np.asarray(visible, dtype=np.float32).reshape(K)
+              * in_bounds.astype(np.float32)).reshape(K, 1)
+
+    xs = np.arange(W, dtype=np.float32)[None, None, :]
+    ys = np.arange(H, dtype=np.float32)[None, :, None]
+    dx = xs - mu_ac[:, 0][:, None, None]
+    dy = ys - mu_ac[:, 1][:, None, None]
+    g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    # window is anchored at the snapped integer center, like the reference
+    dxi = xs - mu[:, 0].astype(np.float32)[:, None, None]
+    dyi = ys - mu[:, 1].astype(np.float32)[:, None, None]
+    window = (dxi >= -tmp_size) & (dxi < tmp_size + 1) & \
+             (dyi >= -tmp_size) & (dyi < tmp_size + 1)
+    draw = (weight[:, 0] > 0.5)[:, None, None]
+    target = (g * window * draw).astype(np.float32)
+    return target, weight.astype(np.float32)
