@@ -1,0 +1,224 @@
+"""DINOv2 ViT-S/14 feature extractor in flax (frozen backbone).
+
+The reference loads `facebookresearch/dinov2:dinov2_vits14` via torch.hub and
+calls `get_intermediate_layers(img, n=1, reshape=True)` for a [bs, 384, 16,
+16] feature map (reference EdgeCape/models/detectors/EdgeCape.py:36,186-191).
+This module re-implements that exact forward semantics TPU-first:
+
+* channels-last [B, H, W, C] throughout (TPU native layout);
+* patch embedding as a single reshape+matmul (maps straight onto the MXU
+  instead of an im2col conv);
+* pre-norm blocks with LayerScale, fused QKV projection;
+* `get_intermediate_layers(n=1, norm=True)` == final-block output passed
+  through the final LayerNorm, cls token dropped, reshaped to the grid.
+
+`convert_torch_state_dict` maps a torch-hub checkpoint onto this module,
+pre-interpolating the 37x37 position grid to the target grid with torch's
+bicubic (exact parity with dinov2.interpolate_pos_encoding) when torch is
+importable, else jax bicubic resize.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoV2Config:
+    patch_size: int = 14
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    layerscale_init: float = 1e-5
+    pretrain_grid: int = 37  # pos-embed grid of the 518px pretraining
+    ln_eps: float = 1e-6
+
+
+VIT_S14 = DinoV2Config()
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    ln_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):  # [B, N, C]
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q * (head_dim ** -0.5)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(b, n, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class Block(nn.Module):
+    cfg: DinoV2Config
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        ls1 = self.param("ls1_gamma", nn.initializers.constant(
+            c.layerscale_init), (c.embed_dim,))
+        ls2 = self.param("ls2_gamma", nn.initializers.constant(
+            c.layerscale_init), (c.embed_dim,))
+        h = nn.LayerNorm(epsilon=c.ln_eps, name="norm1")(x)
+        x = x + ls1 * Attention(c.embed_dim, c.num_heads, name="attn")(h)
+        h = nn.LayerNorm(epsilon=c.ln_eps, name="norm2")(x)
+        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.embed_dim, name="mlp_fc2")(h)
+        return x + ls2 * h
+
+
+class DinoViT(nn.Module):
+    """ViT-S/14 trunk; __call__ returns the normed patch-token grid."""
+
+    cfg: DinoV2Config = VIT_S14
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images [B, H, W, 3] (ImageNet-normalized) ->
+        features [B, H/14, W/14, embed_dim]."""
+        c = self.cfg
+        b, h, w, _ = images.shape
+        gh, gw = h // c.patch_size, w // c.patch_size
+
+        # Patch embed as reshape + matmul (equivalent to the stride-14 conv).
+        patches = images.reshape(b, gh, c.patch_size, gw, c.patch_size, 3)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, gh * gw, c.patch_size * c.patch_size * 3)
+        x = nn.Dense(c.embed_dim, name="patch_embed")(patches)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, c.embed_dim))
+        # pos_embed is stored at the *target* grid (converter pre-resizes the
+        # pretraining grid; see resize_pos_embed).
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, gh * gw + 1, c.embed_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, c.embed_dim)),
+                             x], axis=1)
+        x = x + pos_embed.astype(x.dtype)
+
+        for i in range(c.depth):
+            x = Block(c, name=f"block{i}")(x)
+
+        x = nn.LayerNorm(epsilon=c.ln_eps, name="norm")(x)
+        feats = x[:, 1:, :]  # drop cls
+        return feats.reshape(b, gh, gw, c.embed_dim)
+
+
+def init_params(rng: jax.Array, image_size: int = 224,
+                cfg: DinoV2Config = VIT_S14) -> Any:
+    model = DinoViT(cfg)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    return model.init(rng, dummy)["params"]
+
+
+def extract_features(params: Any, images: jnp.ndarray,
+                     cfg: DinoV2Config = VIT_S14,
+                     dtype=jnp.float32) -> jnp.ndarray:
+    """Frozen-forward convenience: features [B, gh, gw, C], no gradient."""
+    feats = DinoViT(cfg).apply({"params": params}, images.astype(dtype))
+    return jax.lax.stop_gradient(feats)
+
+
+# --------------------------------------------------------------------------
+# Torch-hub checkpoint conversion
+# --------------------------------------------------------------------------
+
+def resize_pos_embed(pos_embed: np.ndarray, src_grid: int, dst_hw,
+                     offset: float = 0.1) -> np.ndarray:
+    """Bicubic-resize the patch position grid, keeping the cls slot.
+
+    Mirrors dinov2's interpolate_pos_encoding: scale_factor = (dst + 0.1) /
+    src, bicubic, antialias=False. Uses torch for an exact match when
+    available (its bicubic kernel a=-0.75 differs from jax's Keys a=-0.5).
+    """
+    dst_h, dst_w = dst_hw
+    cls_tok = pos_embed[:, :1]
+    patch = pos_embed[:, 1:]
+    dim = patch.shape[-1]
+    if src_grid * src_grid != patch.shape[1]:
+        raise ValueError("pos_embed is not a square grid")
+    if (dst_h, dst_w) == (src_grid, src_grid):
+        return pos_embed
+    grid = patch.reshape(1, src_grid, src_grid, dim)
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        t = torch.from_numpy(np.ascontiguousarray(grid)).permute(0, 3, 1, 2)
+        sx = float(dst_w + offset) / src_grid
+        sy = float(dst_h + offset) / src_grid
+        out = F.interpolate(t.float(), scale_factor=(sy, sx), mode="bicubic",
+                            antialias=False)
+        assert out.shape[-2:] == (dst_h, dst_w), out.shape
+        resized = out.permute(0, 2, 3, 1).numpy()
+    except ImportError:
+        resized = np.asarray(jax.image.resize(
+            grid, (1, dst_h, dst_w, dim), method="bicubic"))
+    return np.concatenate(
+        [cls_tok, resized.reshape(1, dst_h * dst_w, dim)], axis=1)
+
+
+def convert_torch_state_dict(sd: dict, image_size: int = 224,
+                             cfg: DinoV2Config = VIT_S14) -> Any:
+    """torch-hub dinov2 state_dict (numpy or torch tensors) -> flax params."""
+
+    def arr(key):
+        v = sd[key]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, dtype=np.float32)
+
+    def linear(prefix):
+        return {"kernel": arr(prefix + ".weight").T,
+                "bias": arr(prefix + ".bias")}
+
+    def ln(prefix):
+        return {"scale": arr(prefix + ".weight"),
+                "bias": arr(prefix + ".bias")}
+
+    g = image_size // cfg.patch_size
+    # conv [C_out, 3, P, P] -> matmul kernel [P*P*3, C_out] matching the
+    # (ph, pw, 3) patch flattening order used in DinoViT.__call__.
+    conv_w = arr("patch_embed.proj.weight")  # [384, 3, 14, 14]
+    kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, cfg.embed_dim)
+
+    params = {
+        "cls_token": arr("cls_token"),
+        "pos_embed": resize_pos_embed(arr("pos_embed"), cfg.pretrain_grid,
+                                      (g, g)),
+        "patch_embed": {"kernel": kernel,
+                        "bias": arr("patch_embed.proj.bias")},
+        "norm": ln("norm"),
+    }
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        params[f"block{i}"] = {
+            "norm1": ln(p + "norm1"),
+            "norm2": ln(p + "norm2"),
+            "ls1_gamma": arr(p + "ls1.gamma"),
+            "ls2_gamma": arr(p + "ls2.gamma"),
+            "attn": {"qkv": linear(p + "attn.qkv"),
+                     "proj": linear(p + "attn.proj")},
+            "mlp_fc1": linear(p + "mlp.fc1"),
+            "mlp_fc2": linear(p + "mlp.fc2"),
+        }
+    return jax.tree.map(jnp.asarray, params)
