@@ -1,0 +1,166 @@
+"""Dataclass configuration system.
+
+Replaces the reference's mmcv Config.fromfile python-dict configs
+(reference configs/train/*.py, train.py:53-60 --cfg-options deep merge) with
+typed dataclasses, a file-per-experiment `configs/` layout (python files
+exporting `config`), and dotted-path CLI overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+
+@dataclass
+class ModelConfig:
+    # backbone
+    backbone: str = "dinov2_vits14"
+    backbone_dim: int = 384
+    image_size: int = 224
+    patch_size: int = 14
+    # head / transformer (reference configs/train/1shot_split1.py:48-81)
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 3
+    num_decoder_layers: int = 3
+    dim_feedforward: int = 384
+    dropout: float = 0.1
+    similarity_proj_dim: int = 256
+    dynamic_proj_dim: int = 128
+    num_feats: int = 128          # sine pos-enc feats (2*num_feats = d_model)
+    max_kpt: int = 100
+    heatmap_size: int = 64
+    # skeleton predictor
+    skeleton_num_layers: int = 3
+    use_zero_conv: bool = True
+    adj_normalization: bool = True
+    # curriculum knobs (reference run.py:64-93)
+    learn_skeleton: bool = False
+    masked_supervision: bool = False
+    masking_ratio: float = 0.5
+    attn_bias: bool = False
+    use_bias_attn_module: bool = False
+    max_hops: int = 4
+    model_freeze: Optional[str] = None  # None | 'skeleton' | 'prediction'
+    # losses
+    with_heatmap_loss: bool = False
+    heatmap_loss_weight: float = 2.0
+    skeleton_loss_weight: float = 1.0
+    # numerics
+    compute_dtype: str = "float32"  # 'bfloat16' for the fast path
+
+
+@dataclass
+class DataConfig:
+    ann_file: str = ""
+    img_prefix: str = ""
+    num_shots: int = 1
+    num_queries: int = 15
+    num_episodes: int = 200
+    image_size: int = 224
+    heatmap_size: int = 64
+    max_kpt: int = 100
+    sigma: float = 1.0
+    # train-time augmentation (reference TopDownGetRandomScaleRotation)
+    rot_factor: float = 15.0
+    scale_factor: float = 0.15
+    rot_prob: float = 0.6
+    pck_threshold_list: Sequence[float] = (0.05, 0.10, 0.15, 0.20, 0.25)
+    valid_class_ids: Optional[Sequence[int]] = None
+    synthetic: bool = False          # use the synthetic MP-100 stand-in
+    synthetic_num_classes: int = 10
+    synthetic_images_per_class: int = 30
+
+
+@dataclass
+class TrainConfig:
+    total_epochs: int = 100
+    lr: float = 1e-5
+    warmup_iters: int = 1000
+    warmup_ratio: float = 0.001
+    lr_step: Sequence[int] = (160, 180)
+    lr_gamma: float = 0.1
+    batch_size: int = 16           # per replica
+    eval_interval: int = 25
+    ckpt_interval: int = 20
+    log_interval: int = 50
+    seed: int = 1
+    grad_clip: Optional[float] = None
+    num_workers: int = 8
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train_data: DataConfig = field(default_factory=DataConfig)
+    val_data: DataConfig = field(default_factory=DataConfig)
+    test_data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    work_dir: str = "work_dirs/exp"
+    load_from: Optional[str] = None
+    resume_from: Optional[str] = None
+
+    # ------------------------------------------------------------------ io
+    @staticmethod
+    def from_file(path: str) -> "Config":
+        spec = importlib.util.spec_from_file_location("exp_config", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        cfg = getattr(mod, "config")
+        if not isinstance(cfg, Config):
+            raise TypeError(f"{path} must define `config: Config`")
+        return cfg
+
+    def override(self, options: Sequence[str]) -> "Config":
+        """Apply 'a.b.c=value' dotted overrides (values parsed as JSON,
+        falling back to string) — the --cfg-options equivalent."""
+        cfg = self
+        for opt in options or []:
+            key, _, raw = opt.partition("=")
+            try:
+                value = json.loads(raw)
+            except json.JSONDecodeError:
+                value = raw
+            parts = key.split(".")
+            cfg = _replace_path(cfg, parts, value)
+        return cfg
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, default=str)
+
+
+def _replace_path(obj: Any, parts: list[str], value: Any) -> Any:
+    if len(parts) == 1:
+        if not hasattr(obj, parts[0]):
+            raise KeyError(f"unknown config field {parts[0]!r} on "
+                           f"{type(obj).__name__}")
+        return dataclasses.replace(obj, **{parts[0]: value})
+    child = getattr(obj, parts[0])
+    return dataclasses.replace(
+        obj, **{parts[0]: _replace_path(child, parts[1:], value)})
+
+
+# ----------------------------------------------------------------- stages
+def stage2_config(cfg: Config, masking_ratio: float = 0.5,
+                  skeleton_loss_weight: float = 1.0) -> Config:
+    """Curriculum stage 2 ('skeleton'): learn edge weights + masked-keypoint
+    supervision (reference run.py:64-72)."""
+    model = dataclasses.replace(
+        cfg.model, learn_skeleton=True, masked_supervision=True,
+        masking_ratio=masking_ratio, skeleton_loss_weight=skeleton_loss_weight)
+    return dataclasses.replace(cfg, model=model)
+
+
+def stage3_config(cfg: Config) -> Config:
+    """Curriculum stage 3 ('bias'): structural attention bias with the
+    skeleton branch frozen (reference run.py:88-93)."""
+    model = dataclasses.replace(
+        stage2_config(cfg).model, use_bias_attn_module=True, attn_bias=True,
+        max_hops=4, model_freeze="skeleton")
+    return dataclasses.replace(cfg, model=model)

@@ -1,0 +1,122 @@
+"""Support-keypoint feature pooling and loss functions.
+
+Behavioral spec: reference EdgeCape/models/keypoint_heads/head.py
+(TwoStageHead.forward support pooling at 175-188, get_loss at 224-294,
+get_accuracy at 296-322). Pure functions over batched arrays; the module
+wiring lives in models/edgecape.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pool_support_keypoints(support_feats: jnp.ndarray,
+                           support_heatmaps: jnp.ndarray) -> jnp.ndarray:
+    """Heatmap-weighted pooling of support features per keypoint.
+
+    Args:
+      support_feats: [B, S, gh, gw, C] backbone features.
+      support_heatmaps: [B, S, K, H, W] GT gaussian heatmaps.
+    Returns:
+      [B, K, C] pooled tokens, averaged over shots.
+
+    The feature map is bilinearly upsampled to the heatmap grid and each
+    heatmap is sum-normalized before pooling (reference head.py:175-187).
+    """
+    b, s, gh, gw, c = support_feats.shape
+    _, _, k, hh, hw = support_heatmaps.shape
+    feats = jax.image.resize(support_feats, (b, s, hh, hw, c),
+                             method="linear")
+    hm = support_heatmaps.reshape(b, s, k, hh * hw)
+    hm = hm / (hm.sum(axis=-1, keepdims=True) + 1e-8)
+    pooled = jnp.einsum("bskp,bspc->bskc", hm,
+                        feats.reshape(b, s, hh * hw, c),
+                        preferred_element_type=jnp.float32)
+    return pooled.mean(axis=1).astype(support_feats.dtype)
+
+
+def masked_l1(pred: jnp.ndarray, target: jnp.ndarray,
+              weight: jnp.ndarray) -> jnp.ndarray:
+    """Reference-style visibility-normalized L1 (head.py:256-269):
+    per-sample sum over coords and joints / #visible, then mean over batch.
+
+    pred/target: [B, K, 2]; weight: [B, K]."""
+    per_kp = jnp.abs(pred - target).sum(axis=-1) * weight       # [B, K]
+    normalizer = jnp.maximum(weight.sum(axis=-1), 1.0)          # [B]
+    return (per_kp.sum(axis=-1) / normalizer).mean()
+
+
+def reconstruction_loss(recon: jnp.ndarray, target: jnp.ndarray,
+                        weight: jnp.ndarray, loss_weight: float
+                        ) -> jnp.ndarray:
+    """Masked-keypoint reconstruction loss (head.py:229-240)."""
+    return masked_l1(recon, target, weight) * loss_weight
+
+
+def heatmap_mse_loss(similarity: jnp.ndarray, target_heatmap: jnp.ndarray,
+                     weight: jnp.ndarray, loss_weight: float) -> jnp.ndarray:
+    """Optional auxiliary heatmap loss (head.py:273-294): MSE between
+    sigmoid(similarity) and the max-normalized GT heatmap resized to the
+    similarity grid.
+
+    similarity: [B, K, h, w]; target_heatmap: [B, K, H, W]; weight [B, K].
+    """
+    b, k, h, w = similarity.shape
+    sim = jax.nn.sigmoid(similarity)
+    tgt = jax.image.resize(target_heatmap, (b, k, h, w), method="linear")
+    peak = tgt.max(axis=(-2, -1), keepdims=True)
+    tgt = tgt / (peak + 1e-10)
+    l2 = ((sim - tgt) ** 2) * weight[:, :, None, None]
+    l2 = l2.sum(axis=(-2, -1)) / (h * w)                        # [B, K]
+    normalizer = jnp.maximum(weight.sum(axis=-1), 1.0)
+    return (l2.sum(axis=-1) / normalizer).mean() * loss_weight
+
+
+def pck_accuracy(pred: jnp.ndarray, target: jnp.ndarray, weight: jnp.ndarray,
+                 norm_sizes: jnp.ndarray, thr: float = 0.2) -> jnp.ndarray:
+    """Train-time PCK probe (head.py:296-322 / mmpose
+    keypoint_pck_accuracy): fraction of visible joints whose normalized
+    distance is below thr, averaged over joints then samples with >=1
+    visible joint.
+
+    pred/target: [B, K, 2] absolute pixels; weight: [B, K];
+    norm_sizes: [B, 2].
+    """
+    dist = jnp.linalg.norm((pred - target) / norm_sizes[:, None, :],
+                           axis=-1)                              # [B, K]
+    hit = (dist < thr) & (weight > 0)
+    per_sample_n = weight.sum(axis=-1)
+    acc = hit.sum(axis=-1) / jnp.maximum(per_sample_n, 1.0)
+    has = per_sample_n > 0
+    return jnp.where(has.any(), (acc * has).sum() / jnp.maximum(
+        has.sum(), 1), 0.0)
+
+
+def keypoint_losses(outputs, targets_norm, weight, *,
+                    proposals_for_loss=None,
+                    recon=None, skeleton_loss_weight: float = 1.0,
+                    similarity=None, target_heatmap=None,
+                    with_heatmap_loss: bool = False,
+                    heatmap_loss_weight: float = 2.0) -> dict:
+    """Full loss dict (reference get_loss, head.py:224-271).
+
+    outputs: [L, B, K, 2] per-decoder-layer normalized predictions.
+    targets_norm: [B, K, 2] GT keypoints normalized by image size.
+    weight: [B, K] visibility (query AND all supports).
+    """
+    losses = {}
+    if recon is not None:
+        losses["adj_reconstruct_loss"] = reconstruction_loss(
+            recon, targets_norm, weight, skeleton_loss_weight)
+    if with_heatmap_loss and similarity is not None:
+        losses["heatmap_loss"] = heatmap_mse_loss(
+            similarity, target_heatmap, weight, heatmap_loss_weight)
+    if proposals_for_loss is not None:
+        losses["proposal_loss"] = masked_l1(proposals_for_loss, targets_norm,
+                                            weight)
+    for idx in range(outputs.shape[0]):
+        losses[f"l1_loss_layer{idx}"] = masked_l1(outputs[idx], targets_norm,
+                                                  weight)
+    return losses

@@ -1,0 +1,312 @@
+"""Graph-transformer core: joint encoder, proposal generator, and the
+GCN-FFN decoder with optional Markov structural attention bias.
+
+Behavioral spec: reference EdgeCape/models/keypoint_heads/encoder_decoder.py
+(TwoStageSupportRefineTransformer, TransformerEncoder/DecoderLayer, GCNLayer,
+ProposalGenerator) and models/utils/bias_attn.py (BiasedMultiheadAttention).
+
+TPU-first redesign decisions:
+* batch-first [B, N, C] everywhere (no seq-first transposes);
+* one fused attention primitive with additive bias + key-validity masks
+  (covers plain MHA, the fairseq-derived biased MHA, and the 2*d_model
+  concat-position cross-attention via explicit q/k/v input dims);
+* static shapes: K is padded to max_kpt, invalid keypoints carried as masks;
+* hop-power bias stack is channels-last [B, K, K, max_hops+1] so the bias
+  MLP is a single matmul over the trailing axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import pos_enc, softargmax
+
+xavier = nn.initializers.xavier_uniform
+zeros_init = nn.initializers.zeros
+
+
+def dense(feats: int, name: str):
+    return nn.Dense(feats, kernel_init=xavier(), bias_init=zeros_init,
+                    name=name)
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1.0 - x, eps, None)
+    return jnp.log(x1 / x2)
+
+
+def ensure_some_valid(valid: jnp.ndarray) -> jnp.ndarray:
+    """If a row has no valid keypoints, mark index 0 valid — the all-padded
+    fix of reference encoder_decoder.py:359-360 (keeps softmax finite)."""
+    none_valid = ~valid.any(axis=-1, keepdims=True)
+    first = jnp.zeros_like(valid).at[..., 0].set(True)
+    return valid | (none_valid & first)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent math, batch-first.
+
+    Supports distinct q/k/v input widths (the concat-position cross-attention
+    uses q,k of 2*d_model with values of d_model) and an additive pre-softmax
+    logit bias (the Markov structural bias)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, *, key_valid=None, bias=None,
+                 train: bool = False):
+        b, nq, _ = q_in.shape
+        nk = k_in.shape[1]
+        h = self.num_heads
+        hd = self.embed_dim // h
+
+        q = dense(self.embed_dim, "q_proj")(q_in)
+        k = dense(self.embed_dim, "k_proj")(k_in)
+        v = dense(self.embed_dim, "v_proj")(v_in)
+        q = q.reshape(b, nq, h, hd) * (hd ** -0.5)
+        k = k.reshape(b, nk, h, hd)
+        v = v.reshape(b, nk, h, hd)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias.astype(logits.dtype)
+        if key_valid is not None:
+            neg = jnp.finfo(logits.dtype).min
+            logits = jnp.where(key_valid[:, None, None, :], logits, neg)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q_in.dtype)
+        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(
+            b, nq, self.embed_dim)
+        return dense(self.embed_dim, "out_proj")(out)
+
+
+class MarkovBiasMLP(nn.Module):
+    """Hop-power stack [B, K, K, max_hops+1] -> per-head logit bias
+    [B, nheads, K, K] (reference bias_attn.py:81-83,188-191)."""
+
+    num_heads: int
+    max_hops: int
+
+    @nn.compact
+    def __call__(self, hops):
+        x = dense(self.max_hops + self.num_heads, "fc1")(hops)
+        x = nn.relu(x)
+        x = dense(self.num_heads, "fc2")(x)
+        return x.transpose(0, 3, 1, 2)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm self-attention + FFN; position embedding added to q, k AND
+    v (reference encoder_decoder.py:461-483)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tokens, pos, key_valid, train: bool = False):
+        src = tokens + pos
+        att = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                 name="self_attn")(
+            src, src, src, key_valid=key_valid, train=train)
+        x = src + nn.Dropout(self.dropout, deterministic=not train)(att)
+        x = nn.LayerNorm(name="norm1")(x)
+        f = dense(self.dim_feedforward, "linear1")(x)
+        f = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(f))
+        f = dense(self.d_model, "linear2")(f)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(f)
+        return nn.LayerNorm(name="norm2")(x)
+
+
+class ProposalGenerator(nn.Module):
+    """Dynamic similarity proposals (reference encoder_decoder.py:37-112):
+    tanh-modulated support projection, full-map soft-argmax for the loss
+    proposal, local 3x3 re-normalized soft-argmax for the working proposal."""
+
+    d_model: int
+    proj_dim: int
+    dynamic_proj_dim: int
+
+    @nn.compact
+    def __call__(self, query_tokens, support_tokens, spatial_hw):
+        h, w = spatial_hw
+        fs = dense(self.proj_dim, "support_proj")(support_tokens)  # [B,K,P]
+        fq = dense(self.proj_dim, "query_proj")(query_tokens)      # [B,HW,P]
+        dyn = dense(self.dynamic_proj_dim, "dynamic_fc1")(fs)
+        dyn = dense(self.d_model, "dynamic_fc2")(nn.relu(dyn))
+        fs = (jnp.tanh(dyn) + 1.0) * fs
+        sim = jnp.einsum("bpc,bkc->bkp", fq, fs,
+                         preferred_element_type=jnp.float32)  # [B, K, HW]
+        proposal_for_loss = softargmax.global_soft_argmax(sim, h, w)
+        proposals = softargmax.local_soft_argmax(sim, h, w)
+        return proposal_for_loss, sim, proposals
+
+
+class GCNLayer(nn.Module):
+    """Graph-conv FFN: pointwise expansion to kernel_size slices contracted
+    with the 2-slice adjacency [diag(valid); edge-weights]
+    (reference GCNLayer, encoder_decoder.py:486-524)."""
+
+    out_features: int
+    kernel_size: int = 2
+
+    @nn.compact
+    def __call__(self, x, adj):
+        # x [B, K, C]; adj [B, kernel_size, K, K]
+        b, k, _ = x.shape
+        y = dense(self.out_features * self.kernel_size, "conv")(x)
+        y = y.reshape(b, k, self.kernel_size, self.out_features)
+        out = jnp.einsum("bvsc,bswv->bwc", y, adj,
+                         preferred_element_type=jnp.float32)
+        return nn.relu(out).astype(x.dtype)
+
+
+class DecoderLayer(nn.Module):
+    """Keypoint-token refinement block (reference encoder_decoder.py:527-651):
+    (1) kp self-attention, optionally biased by the Markov hop stack;
+    (2) cross-attention kp->image with concat([content; position]) q/k at
+        2*d_model and d_model values, squeezed back by a 'choker' projection;
+    (3) GCN feed-forward contracting with the learned adjacency;
+    (4) optional two-way image<-kp cross-attention (skeleton refiner only).
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    attn_bias: bool = False
+    max_hops: int = 4
+    two_way_attn: bool = False
+
+    @nn.compact
+    def __call__(self, kp_tokens, img_tokens, *, kp_valid, kp_query_pos,
+                 img_pos, hop_stack=None, adj=None, train: bool = False):
+        drop = lambda x: nn.Dropout(self.dropout,  # noqa: E731
+                                    deterministic=not train)(x)
+        # (1) keypoint self-attention
+        bias = None
+        if self.attn_bias and hop_stack is not None:
+            bias = MarkovBiasMLP(self.nhead, self.max_hops,
+                                 name="bias_mlp")(hop_stack)
+        att = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                 name="self_attn")(
+            kp_tokens, kp_tokens, kp_tokens, key_valid=kp_valid, bias=bias,
+            train=train)
+        x = kp_tokens + drop(att)
+        x = nn.LayerNorm(name="norm1")(x)
+
+        # (2) cross-attention with concatenated positional embedding
+        q = jnp.concatenate([x, kp_query_pos], axis=-1)
+        k = jnp.concatenate([img_tokens, img_pos], axis=-1)
+        att = MultiHeadAttention(2 * self.d_model, self.nhead, self.dropout,
+                                 name="cross_attn")(
+            q, k, img_tokens, train=train)
+        att = dense(self.d_model, "choker")(att)
+        x = x + drop(att)
+        x = nn.LayerNorm(name="norm2")(x)
+
+        # (3) GCN feed-forward
+        f = GCNLayer(self.dim_feedforward, name="gcn")(x, adj)
+        f = dense(self.d_model, "ffn2")(drop(f))
+        x = x + drop(f)
+        x = nn.LayerNorm(name="norm3")(x)
+
+        # (4) two-way: image tokens attend back to keypoint tokens
+        if self.two_way_attn:
+            q2 = jnp.concatenate([img_tokens, img_pos], axis=-1)
+            k2 = jnp.concatenate([x, kp_query_pos], axis=-1)
+            att2 = MultiHeadAttention(2 * self.d_model, self.nhead,
+                                      self.dropout, name="two_way_attn")(
+                q2, k2, x, train=train)
+            att2 = dense(self.d_model, "two_way_choker")(att2)
+            img_tokens = img_tokens + drop(att2)
+            img_tokens = nn.LayerNorm(name="norm4")(img_tokens)
+
+        return x, img_tokens
+
+
+class RefPointHead(nn.Module):
+    """2-layer MLP over the sine embedding of current coords
+    (reference TransformerDecoder.ref_point_head)."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.gelu(dense(self.d_model, "fc1")(x), approximate=False)
+        return dense(self.d_model, "fc2")(x)
+
+
+class KptBranch(nn.Module):
+    """Per-layer coordinate-delta MLP (reference TokenDecodeMLP,
+    head.py:34-58): 3x (Linear+GELU) then a zero-initialized final Linear."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(3):
+            x = nn.gelu(dense(self.d_model, f"fc{i}")(x), approximate=False)
+        return nn.Dense(2, kernel_init=zeros_init, bias_init=zeros_init,
+                        name="out")(x)
+
+
+class Decoder(nn.Module):
+    """Iterative-refinement decoder (reference encoder_decoder.py:313-431).
+
+    Per layer: sine-embed current coords -> ref_point_head -> DecoderLayer ->
+    kpt_branch delta -> sigmoid(inverse_sigmoid(prev) + delta), with
+    stop_gradient between layers. Returns per-layer normed tokens and the
+    point trajectory [initial, after L0, after L1, ...].
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    num_layers: int
+    dropout: float = 0.1
+    attn_bias: bool = False
+    max_hops: int = 4
+    num_feats: int = 128
+
+    def setup(self):
+        self.layers = [
+            DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
+                         self.dropout, attn_bias=self.attn_bias,
+                         max_hops=self.max_hops, name=f"layer{i}")
+            for i in range(self.num_layers)]
+        self.norm = nn.LayerNorm(name="norm")
+        self.ref_point_head = RefPointHead(self.d_model)
+        self.kpt_branches = [KptBranch(self.d_model, name=f"kpt_branch{i}")
+                             for i in range(self.num_layers)]
+
+    def __call__(self, kp_tokens, img_tokens, *, kp_valid, img_pos,
+                 initial_proposals, adj, hop_stack=None, train: bool = False):
+        kp_valid = ensure_some_valid(kp_valid)
+        bi = jax.lax.stop_gradient(initial_proposals)
+        points = [bi]
+        intermediate = []
+        x = kp_tokens
+        for i, layer in enumerate(self.layers):
+            query_pos = pos_enc.sine_coords(bi, self.num_feats).astype(
+                x.dtype)
+            query_pos = self.ref_point_head(query_pos)
+            x, img_tokens = layer(
+                x, img_tokens, kp_valid=kp_valid, kp_query_pos=query_pos,
+                img_pos=img_pos, hop_stack=hop_stack, adj=adj, train=train)
+            intermediate.append(self.norm(x))
+            delta = self.kpt_branches[i](x)
+            bi_pred = jax.nn.sigmoid(inverse_sigmoid(bi) + delta)
+            bi = jax.lax.stop_gradient(bi_pred)
+            points.append(bi_pred)
+        return jnp.stack(intermediate, axis=0), points
