@@ -1,0 +1,128 @@
+"""High-level estimator: backbone + head under one jitted, shardable
+forward.
+
+Replaces the reference detector glue (EdgeCape.forward_test / predict,
+detectors/EdgeCape.py:131-191): one compiled function maps a batch of
+episodes to normalized keypoint predictions + learned adjacency. Data
+parallelism is a NamedSharding on the batch axis over a 1-D mesh
+(parallel/mesh.py) — XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, ModelConfig
+from .data.mp100 import EpisodeBatch
+from .models import dinov2
+from .models.edgecape import EdgeCape, ModelOutput
+from .ops import affine
+
+
+class PoseEstimator:
+    """Inference-oriented wrapper around (backbone params, head params)."""
+
+    def __init__(self, cfg: Config,
+                 backbone_params: Optional[Any] = None,
+                 head_params: Optional[Any] = None,
+                 rng: Optional[jax.Array] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None):
+        self.cfg = cfg
+        self.model = EdgeCape(cfg.model)
+        self.backbone_cfg = dinov2.VIT_S14
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if backbone_params is None:
+            backbone_params = jax.jit(functools.partial(
+                dinov2.init_params, image_size=cfg.model.image_size))(rng)
+        self.backbone_params = backbone_params
+        if head_params is None:
+            g = cfg.model.image_size // cfg.model.patch_size
+            k = cfg.model.max_kpt
+            s = cfg.test_data.num_shots or 1
+            init = jax.jit(lambda r: self.model.init(
+                {"params": r, "dropout": jax.random.PRNGKey(0)},
+                jnp.zeros((1, g, g, cfg.model.backbone_dim)),
+                jnp.zeros((1, s, g, g, cfg.model.backbone_dim)),
+                jnp.zeros((1, s, k, cfg.model.heatmap_size,
+                           cfg.model.heatmap_size)),
+                jnp.zeros((1, k)), jnp.zeros((1, k, k))))
+            head_params = init(jax.random.PRNGKey(1))["params"]
+        self.head_params = head_params
+        self.mesh = mesh
+        self._fwd = None
+
+    # ------------------------------------------------------------ forward
+    def _build_forward(self):
+        model = self.model
+        bb_cfg = self.backbone_cfg
+
+        def forward(bb_params, head_params, img_s, img_q, target_s,
+                    weight_s, binary_adj):
+            b, s = img_s.shape[:2]
+            imgs = jnp.concatenate(
+                [img_s.reshape((b * s,) + img_s.shape[2:]), img_q], axis=0)
+            feats = dinov2.extract_features(bb_params, imgs, bb_cfg)
+            gh, gw = feats.shape[1:3]
+            feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
+            feat_q = feats[b * s:]
+            mask_s = jnp.prod(weight_s, axis=1)           # [B, K]
+            out: ModelOutput = model.apply(
+                {"params": head_params}, feat_q, feat_s, target_s, mask_s,
+                binary_adj)
+            return (out.outputs[-1], out.encode.raw_adj,
+                    jnp.stack([out.encode.proposals] + list(out.points[1:]),
+                              axis=0))
+
+        if self.mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated
+            shard_b = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            return jax.jit(
+                forward,
+                in_shardings=(rep, rep, shard_b, shard_b, shard_b, shard_b,
+                              shard_b),
+                out_shardings=(shard_b, shard_b,
+                               jax.sharding.NamedSharding(
+                                   self.mesh,
+                                   jax.sharding.PartitionSpec(None, "data"))))
+        return jax.jit(forward)
+
+    def forward_batch(self, batch: EpisodeBatch):
+        """Returns (pred_norm [B, K, 2] in [0,1], raw_adj [B, K, K],
+        trajectory [L+1, B, K, 2]) as device arrays."""
+        if self._fwd is None:
+            self._fwd = self._build_forward()
+        return self._fwd(self.backbone_params, self.head_params,
+                         jnp.asarray(batch.img_s), jnp.asarray(batch.img_q),
+                         jnp.asarray(batch.target_s),
+                         jnp.asarray(batch.weight_s),
+                         jnp.asarray(batch.binary_adj))
+
+    # ------------------------------------------------------------- decode
+    def decode_batch(self, pred_norm: np.ndarray,
+                     batch: EpisodeBatch) -> dict:
+        """Normalized predictions -> original-image coordinates + result
+        records (reference head.decode, head.py:324-387)."""
+        size = self.cfg.model.image_size
+        coords = np.asarray(pred_norm) * size
+        centers = batch.meta["query_center"]
+        scales = batch.meta["query_scale"]
+        preds_img = affine.transform_preds_batch(coords, centers, scales,
+                                                 (size, size))
+        b, k = coords.shape[:2]
+        all_preds = np.zeros((b, k, 3), np.float32)
+        all_preds[:, :, :2] = preds_img
+        all_preds[:, :, 2] = 1.0
+        boxes = np.zeros((b, 6), np.float32)
+        boxes[:, 0:2] = centers
+        boxes[:, 2:4] = scales
+        boxes[:, 4] = np.prod(scales * 200.0, axis=1)
+        boxes[:, 5] = 1.0
+        return {"preds": all_preds, "boxes": boxes,
+                "image_paths": batch.meta["query_image_file"],
+                "bbox_ids": batch.meta["bbox_id"]}

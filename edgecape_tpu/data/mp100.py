@@ -1,0 +1,256 @@
+"""MP-100 episodic dataset: class-balanced train pairing and seeded val/test
+episode generation, bit-compatible with the reference protocol.
+
+Behavioral spec: reference
+EdgeCape/datasets/datasets/mp100/transformer_dataset.py (db construction
+128-252, random_paired_samples 70-83, make_paired_samples 85-98) and
+test_dataset.py (same seeded sampling). Episode index sets are identical to
+the reference because CPython's `random.sample` with the same seeds is used
+over the same per-class object lists.
+
+TPU redesign: instead of per-sample ragged dicts through a torch DataLoader,
+episodes are collated host-side into fixed-shape numpy batches
+([B, S, ...] supports, K padded to max_kpt, [K, K] adjacency rasterized from
+the edge list) ready for a single device_put.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import DataConfig
+from ..ops import affine, graph
+from .coco import CocoIndex
+from .pipeline import Sample, preprocess
+
+
+def build_db(coco: CocoIndex, img_prefix: str, image_size,
+             max_kpt: Optional[int], *, check_files: bool = True):
+    """Ground-truth records per annotation instance.
+
+    Mirrors reference _get_db/_load_coco_keypoint_annotation_kernel
+    (transformer_dataset.py:128-222): bbox sanitization, joints padded to
+    max_kpt, center/scale from the padded bbox, category skeleton attached.
+
+    Returns (db, cat2obj).
+    """
+    db = []
+    cat2obj = {cid: [] for cid in coco.get_cat_ids()}
+    obj_id = 0
+    for img_id in coco.get_img_ids():
+        info = coco.load_img(img_id)
+        width, height = info["width"], info["height"]
+        for ann in coco.img_anns(img_id, iscrowd=False):
+            if "bbox" not in ann or "keypoints" not in ann:
+                continue
+            x, y, w, h = ann["bbox"]
+            x1, y1 = max(0, x), max(0, y)
+            x2 = min(width - 1, x1 + max(0, w - 1))
+            y2 = min(height - 1, y1 + max(0, h - 1))
+            if not (("area" not in ann or ann["area"] > 0)
+                    and x2 > x1 and y2 > y1):
+                continue
+            if max(ann["keypoints"]) == 0:
+                continue
+            if ann.get("num_keypoints") == 0:
+                continue
+            kpts = np.array(ann["keypoints"], np.float32).reshape(-1, 3)
+            cat_kpt_num = kpts.shape[0]
+            k = max_kpt if max_kpt is not None else cat_kpt_num
+            joints = np.zeros((k, 3), np.float32)
+            visible = np.zeros((k, 3), np.float32)
+            joints[:cat_kpt_num, :2] = kpts[:, :2]
+            visible[:cat_kpt_num, :2] = np.minimum(1, kpts[:, 2:3])
+            clean_bbox = [x1, y1, x2 - x1, y2 - y1]
+            center, scale = affine.xywh2cs(*clean_bbox,
+                                           image_size=image_size)
+            image_file = os.path.join(img_prefix, info["file_name"])
+            if check_files and not os.path.exists(image_file):
+                continue
+            cat2obj[ann["category_id"]].append(obj_id)
+            db.append({
+                "image_file": image_file,
+                "center": center,
+                "scale": scale,
+                "rotation": 0,
+                "bbox": clean_bbox,
+                "bbox_score": 1,
+                "joints_3d": joints,
+                "joints_3d_visible": visible,
+                "category_id": ann["category_id"],
+                "cat_kpt_num": cat_kpt_num,
+                "bbox_id": obj_id,
+                "skeleton": coco.cats[ann["category_id"]]["skeleton"],
+            })
+            obj_id += 1
+    return db, cat2obj
+
+
+@dataclass
+class EpisodeBatch:
+    """Fixed-shape device-ready arrays + host-side decode metadata."""
+    img_s: np.ndarray        # [B, S, H, W, 3]
+    target_s: np.ndarray     # [B, S, K, h, w]
+    weight_s: np.ndarray     # [B, S, K]
+    img_q: np.ndarray        # [B, H, W, 3]
+    target_q: np.ndarray     # [B, K, h, w]
+    weight_q: np.ndarray     # [B, K]
+    joints_q: np.ndarray     # [B, K, 2] model-input pixel coords
+    binary_adj: np.ndarray   # [B, K, K]
+    rand_mask: np.ndarray    # [B, K] 1 keep / 0 masked (train stage 2)
+    meta: dict = field(default_factory=dict)
+
+
+class MP100Dataset:
+    """mode: 'train' | 'val' | 'test'."""
+
+    def __init__(self, cfg: DataConfig, mode: str = "train",
+                 check_files: bool = True):
+        self.cfg = cfg
+        self.mode = mode
+        self.coco = CocoIndex(cfg.ann_file)
+        img_size = (cfg.image_size, cfg.image_size)
+        self.db, self.cat2obj = build_db(self.coco, cfg.img_prefix, img_size,
+                                         cfg.max_kpt,
+                                         check_files=check_files)
+        if cfg.valid_class_ids is not None:
+            self.valid_class_ids = list(cfg.valid_class_ids)
+        else:
+            self.valid_class_ids = self.coco.get_cat_ids()
+        self.num_shots = cfg.num_shots
+        self.img_prefix = cfg.img_prefix if cfg.img_prefix.endswith("/") \
+            else cfg.img_prefix + "/"
+        self.id2name = {i: im["file_name"] for i, im in self.coco.imgs.items()}
+        self.name2id = {v: k for k, v in self.id2name.items()}
+        if mode == "train":
+            self.resample_episodes()
+        else:
+            self.make_episodes()
+
+    # ----------------------------------------------------------- episodes
+    def resample_episodes(self):
+        """Class-balanced random (shots+1)-tuples, reshuffled every epoch
+        (reference random_paired_samples)."""
+        counts = [len(self.cat2obj[c]) for c in self.valid_class_ids]
+        max_count = max(counts)
+        samples = []
+        for cls in self.valid_class_ids:
+            pool = self.cat2obj[cls]
+            for _ in range(max_count):
+                samples.append(random.sample(pool, self.num_shots + 1))
+        arr = np.array(samples)
+        np.random.shuffle(arr)
+        self.paired_samples = arr
+
+    def make_episodes(self):
+        """Seeded deterministic episodes (reference make_paired_samples:
+        random.seed(1), np.random.seed(0))."""
+        random.seed(1)
+        np.random.seed(0)
+        samples = []
+        for cls in self.valid_class_ids:
+            for _ in range(self.cfg.num_episodes):
+                drawn = random.sample(self.cat2obj[cls],
+                                      self.num_shots + self.cfg.num_queries)
+                supports = drawn[:self.num_shots]
+                for q in drawn[self.num_shots:]:
+                    samples.append(supports + [q])
+        self.paired_samples = np.array(samples)
+
+    def __len__(self):
+        return len(self.paired_samples)
+
+    # ----------------------------------------------------------- loading
+    def _rand_mask(self, joint_weight: np.ndarray,
+                   masking_ratio: float) -> np.ndarray:
+        """Zero a random masking_ratio of jointly-visible keypoints
+        (reference transformer_base_dataset.rand_mask)."""
+        mask = joint_weight.copy()
+        n = int(mask.sum() * masking_ratio)
+        idx = np.where(mask == 1)[0]
+        chosen = np.random.permutation(idx)[:n]
+        mask[chosen] = 0
+        return mask
+
+    def get_episode(self, idx: int, *, augment: Optional[bool] = None,
+                    rng: Optional[np.random.Generator] = None,
+                    masking_ratio: float = 0.0):
+        pair = self.paired_samples[idx]
+        augment = (self.mode == "train") if augment is None else augment
+        supports = [preprocess(self.db[i], self.cfg, augment=augment,
+                               rng=rng) for i in pair[:-1]]
+        query = preprocess(self.db[pair[-1]], self.cfg, augment=augment,
+                           rng=rng)
+        skeleton = self.db[pair[0]]["skeleton"]
+        return supports, query, skeleton, pair
+
+    # ----------------------------------------------------------- batching
+    def collate(self, indices, *, augment: Optional[bool] = None,
+                rng: Optional[np.random.Generator] = None,
+                masking_ratio: float = 0.0) -> EpisodeBatch:
+        cfg = self.cfg
+        b, s, k = len(indices), self.num_shots, cfg.max_kpt
+        hs = cfg.heatmap_size
+        img_s = np.zeros((b, s, cfg.image_size, cfg.image_size, 3),
+                         np.float32)
+        target_s = np.zeros((b, s, k, hs, hs), np.float32)
+        weight_s = np.zeros((b, s, k), np.float32)
+        img_q = np.zeros((b, cfg.image_size, cfg.image_size, 3), np.float32)
+        target_q = np.zeros((b, k, hs, hs), np.float32)
+        weight_q = np.zeros((b, k), np.float32)
+        joints_q = np.zeros((b, k, 2), np.float32)
+        adj = np.zeros((b, k, k), np.float32)
+        rand_mask = np.ones((b, k), np.float32)
+        centers = np.zeros((b, 2), np.float32)
+        scales = np.zeros((b, 2), np.float32)
+        paths, bbox_ids, cats = [], [], []
+
+        for bi, idx in enumerate(indices):
+            supports, query, skeleton, pair = self.get_episode(
+                idx, augment=augment, rng=rng)
+            for si, sup in enumerate(supports):
+                img_s[bi, si] = sup.img
+                target_s[bi, si] = sup.target
+                weight_s[bi, si] = sup.target_weight
+            img_q[bi] = query.img
+            target_q[bi] = query.target
+            weight_q[bi] = query.target_weight
+            joints_q[bi] = query.joints
+            adj[bi] = graph.adjacency_from_edges(skeleton, k)
+            if masking_ratio > 0:
+                joint_w = weight_s[bi].prod(axis=0)
+                rand_mask[bi] = self._rand_mask(joint_w, masking_ratio)
+            qrec = self.db[pair[-1]]
+            centers[bi] = query.center
+            scales[bi] = query.scale
+            paths.append(qrec["image_file"])
+            bbox_ids.append(int(idx))
+            cats.append(qrec["category_id"])
+
+        meta = {"query_center": centers, "query_scale": scales,
+                "query_image_file": paths, "bbox_id": bbox_ids,
+                "category_id": cats,
+                "pair": [self.paired_samples[i] for i in indices]}
+        return EpisodeBatch(img_s=img_s, target_s=target_s,
+                            weight_s=weight_s, img_q=img_q,
+                            target_q=target_q, weight_q=weight_q,
+                            joints_q=joints_q, binary_adj=adj,
+                            rand_mask=rand_mask, meta=meta)
+
+    def batches(self, batch_size: int, *, shuffle: bool = False,
+                rng: Optional[np.random.Generator] = None,
+                masking_ratio: float = 0.0, drop_last: bool = False):
+        order = np.arange(len(self))
+        if shuffle and rng is not None:
+            rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            chunk = order[start:start + batch_size]
+            if drop_last and len(chunk) < batch_size:
+                return
+            yield self.collate(list(chunk), rng=rng,
+                               masking_ratio=masking_ratio)

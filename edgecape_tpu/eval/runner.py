@@ -1,0 +1,137 @@
+"""Episodic evaluation runner.
+
+Behavioral spec: reference apis/test.py single_gpu_test + TestPoseDataset
+.evaluate/_report_metric (test_base_dataset.py:71-155): run every episode,
+write result_keypoints.json, report PCK@thresholds + mPCK + NME + AUC + EPE
+with thresholds normalized by the query bbox max side and visibility =
+query AND all supports.
+
+TPU redesign: episodes are evaluated in large device batches (the reference
+runs bs=1), with the batch axis sharded over the mesh — this is where the
+>=15x eval-time win comes from.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+from ..api import PoseEstimator
+from ..data.mp100 import MP100Dataset
+from . import metrics
+
+
+def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
+             batch_size: int = 32, res_folder: str = ".",
+             metric_list=("PCK", "NME", "AUC", "EPE"),
+             progress: bool = True) -> OrderedDict:
+    os.makedirs(res_folder, exist_ok=True)
+    records = []
+    t0 = time.time()
+    n_done = 0
+    for batch in dataset.batches(batch_size, masking_ratio=0.0):
+        pred_norm, _, _ = estimator.forward_batch(batch)
+        out = estimator.decode_batch(np.asarray(pred_norm), batch)
+        for i in range(len(out["bbox_ids"])):
+            path = out["image_paths"][i]
+            records.append({
+                "keypoints": out["preds"][i].tolist(),
+                "center": out["boxes"][i][0:2].tolist(),
+                "scale": out["boxes"][i][2:4].tolist(),
+                "area": float(out["boxes"][i][4]),
+                "score": float(out["boxes"][i][5]),
+                "image_id": dataset.name2id.get(
+                    os.path.relpath(path, dataset.img_prefix), -1),
+                "bbox_id": out["bbox_ids"][i],
+            })
+        n_done += len(out["bbox_ids"])
+        if progress:
+            rate = n_done / max(time.time() - t0, 1e-9)
+            print(f"\reval {n_done}/{len(dataset)} "
+                  f"({rate:.1f} img/s)", end="", flush=True)
+    if progress:
+        print()
+
+    # dedup by bbox_id like the reference _sort_and_unique_bboxes
+    records.sort(key=lambda r: r["bbox_id"])
+    uniq = []
+    seen = set()
+    for r in records:
+        if r["bbox_id"] not in seen:
+            uniq.append(r)
+            seen.add(r["bbox_id"])
+    res_file = os.path.join(res_folder, "result_keypoints.json")
+    with open(res_file, "w") as f:
+        json.dump(uniq, f, sort_keys=True, indent=4)
+
+    results = compute_metrics(dataset, uniq, metric_list)
+    results["eval_seconds"] = round(time.time() - t0, 3)
+    results["images_per_sec"] = round(n_done / max(time.time() - t0, 1e-9),
+                                      2)
+    return results
+
+
+def compute_metrics(dataset: MP100Dataset, records, metric_list
+                    ) -> OrderedDict:
+    """Reference _report_metric semantics over decoded records."""
+    assert len(records) == len(dataset.paired_samples)
+    pck_list = list(dataset.cfg.pck_threshold_list)
+    outputs, gts, masks, thr_bbox = [], [], [], []
+    for rec, pair in zip(records, dataset.paired_samples):
+        item = dataset.db[pair[-1]]
+        outputs.append(np.array(rec["keypoints"])[:, :-1])
+        gts.append(np.array(item["joints_3d"])[:, :-1])
+        mask_q = np.array(item["joints_3d_visible"])[:, 0] > 0
+        mask_s = np.array(
+            dataset.db[pair[0]]["joints_3d_visible"])[:, 0] > 0
+        for sid in pair[:-1]:
+            mask_s &= np.array(
+                dataset.db[sid]["joints_3d_visible"])[:, 0] > 0
+        masks.append(mask_q & mask_s)
+        bbox = np.array(item["bbox"])
+        thr = np.max(bbox[2:])
+        thr_bbox.append(np.array([thr, thr]))
+
+    info = OrderedDict()
+    if "PCK" in metric_list:
+        per_thr = {t: [] for t in pck_list}
+        for o, g, m, t in zip(outputs, gts, masks, thr_bbox):
+            for thr in pck_list:
+                _, pck, _ = metrics.pck_accuracy(o[None], g[None], m[None],
+                                                 thr, t[None])
+                per_thr[thr].append(pck)
+        mpck = 0.0
+        for thr in pck_list:
+            v = float(np.mean(per_thr[thr]))
+            info[f"PCK@{thr}"] = v
+            mpck += v
+        info["mPCK"] = mpck / len(pck_list)
+        info["PCK"] = info[f"PCK@{0.2}"] if 0.2 in pck_list else \
+            info[f"PCK@{pck_list[-1]}"]
+    if "NME" in metric_list:
+        info["NME"] = float(np.mean([
+            metrics.nme(o[None], g[None], m[None], t[None])
+            for o, g, m, t in zip(outputs, gts, masks, thr_bbox)]))
+    if "AUC" in metric_list:
+        info["AUC"] = float(np.mean([
+            metrics.auc(o[None], g[None], m[None], t[0])
+            for o, g, m, t in zip(outputs, gts, masks, thr_bbox)]))
+    if "EPE" in metric_list:
+        info["EPE"] = float(np.mean([
+            metrics.epe(o[None], g[None], m[None])
+            for o, g, m in zip(outputs, gts, masks)]))
+    return info
+
+
+def append_testing_log(work_dir: str, config_name: str, ckpt: str,
+                       results: dict):
+    """testing_log.txt append (reference test.py:153-161)."""
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, "testing_log.txt"), "a") as f:
+        f.write(f"config: {config_name} ckpt: {ckpt} ")
+        f.write(" ".join(f"{k}: {v}" for k, v in results.items()))
+        f.write("\n")

@@ -1,0 +1,125 @@
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from edgecape_tpu.config import Config, DataConfig, ModelConfig
+from edgecape_tpu.data import synthetic
+from edgecape_tpu.data.mp100 import MP100Dataset
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp100synth")
+    ann = synthetic.generate(str(root), num_classes=3, images_per_class=8,
+                             image_size=128, seed=0)
+    return str(root), ann
+
+
+def _data_cfg(root, ann, **kw):
+    defaults = dict(ann_file=ann, img_prefix=os.path.join(root, "images"),
+                    num_shots=1, num_queries=2, num_episodes=2,
+                    image_size=56, heatmap_size=16, max_kpt=16, sigma=1.0)
+    defaults.update(kw)
+    return DataConfig(**defaults)
+
+
+def test_dataset_build_and_episodes(synth_root):
+    root, ann = synth_root
+    cfg = _data_cfg(root, ann)
+    ds = MP100Dataset(cfg, mode="test")
+    assert len(ds.db) == 24
+    # 3 classes x 2 episodes x 2 queries
+    assert len(ds) == 12
+    # seeded: a second dataset generates identical episodes
+    ds2 = MP100Dataset(cfg, mode="test")
+    np.testing.assert_array_equal(ds.paired_samples, ds2.paired_samples)
+    # supports differ from query within an episode
+    for pair in ds.paired_samples:
+        assert pair[-1] not in pair[:-1]
+
+
+def test_train_resample_changes(synth_root):
+    root, ann = synth_root
+    ds = MP100Dataset(_data_cfg(root, ann), mode="train")
+    import random
+    random.seed(123)
+    first = ds.paired_samples.copy()
+    ds.resample_episodes()
+    assert first.shape == ds.paired_samples.shape
+    assert not np.array_equal(first, ds.paired_samples)
+
+
+def test_collate_shapes_and_masks(synth_root):
+    root, ann = synth_root
+    cfg = _data_cfg(root, ann)
+    ds = MP100Dataset(cfg, mode="test")
+    batch = ds.collate([0, 1, 2], rng=np.random.default_rng(0))
+    assert batch.img_s.shape == (3, 1, 56, 56, 3)
+    assert batch.img_q.shape == (3, 56, 56, 3)
+    assert batch.target_s.shape == (3, 1, 16, 16, 16)
+    assert batch.weight_q.shape == (3, 16)
+    assert batch.binary_adj.shape == (3, 16, 16)
+    # adjacency is symmetric with at least the chain edges
+    assert (batch.binary_adj == batch.binary_adj.transpose(0, 2, 1)).all()
+    assert batch.binary_adj.sum() > 0
+    # padded joints (beyond cat_kpt_num) are invisible
+    for bi, pair in enumerate(batch.meta["pair"]):
+        n = ds.db[pair[-1]]["cat_kpt_num"]
+        assert batch.weight_q[bi, n:].sum() == 0
+
+
+def test_rand_mask_ratio(synth_root):
+    root, ann = synth_root
+    cfg = _data_cfg(root, ann)
+    ds = MP100Dataset(cfg, mode="test")
+    np.random.seed(0)
+    batch = ds.collate([0, 1], rng=np.random.default_rng(0),
+                       masking_ratio=0.5)
+    for bi in range(2):
+        joint_w = batch.weight_s[bi].prod(axis=0)
+        visible = int(joint_w.sum())
+        masked = int((joint_w - batch.rand_mask[bi] * joint_w).sum())
+        assert masked == int(visible * 0.5)
+
+
+def test_end_to_end_eval_random_weights(synth_root):
+    """Full pipeline: synthetic COCO -> episodes -> backbone+head forward ->
+    decode -> metrics. Random weights, so only protocol invariants are
+    checked (not accuracy)."""
+    import jax
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.eval import runner
+
+    root, ann = synth_root
+    dcfg = _data_cfg(root, ann)
+    model_cfg = ModelConfig(image_size=56, heatmap_size=16, max_kpt=16)
+    cfg = Config(model=model_cfg, test_data=dcfg)
+    ds = MP100Dataset(dcfg, mode="test")
+    est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    results = runner.run_eval(ds, est, batch_size=6,
+                              res_folder="/tmp/ec_eval_test",
+                              progress=False)
+    for key in ["PCK@0.2", "mPCK", "NME", "AUC", "EPE", "PCK"]:
+        assert key in results, key
+        assert np.isfinite(results[key])
+    assert 0 <= results["PCK"] <= 1
+    assert os.path.exists("/tmp/ec_eval_test/result_keypoints.json")
+
+
+def test_metrics_perfect_prediction(synth_root):
+    """Predicting the GT exactly gives PCK=1, EPE=0."""
+    root, ann = synth_root
+    dcfg = _data_cfg(root, ann)
+    ds = MP100Dataset(dcfg, mode="test")
+    from edgecape_tpu.eval.runner import compute_metrics
+    records = []
+    for i, pair in enumerate(ds.paired_samples):
+        item = ds.db[pair[-1]]
+        kp = np.asarray(item["joints_3d"]).copy()
+        kp[:, 2] = 1.0
+        records.append({"keypoints": kp.tolist(), "bbox_id": i})
+    res = compute_metrics(ds, records, ("PCK", "NME", "AUC", "EPE"))
+    assert res["PCK@0.2"] == 1.0
+    assert res["EPE"] == 0.0
