@@ -1,0 +1,156 @@
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from edgecape_tpu.config import (Config, DataConfig, ModelConfig,
+                                 TrainConfig, stage2_config, stage3_config)
+from edgecape_tpu.data import synthetic
+from edgecape_tpu.data.mp100 import MP100Dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp100train")
+    ann = synthetic.generate(str(root), num_classes=3, images_per_class=6,
+                             image_size=128, seed=1)
+    return str(root), ann
+
+
+def _cfg(root, ann, tmpdir, **model_kw):
+    dcfg = DataConfig(ann_file=ann, img_prefix=os.path.join(root, "images"),
+                      num_shots=1, num_queries=2, num_episodes=1,
+                      image_size=56, heatmap_size=16, max_kpt=16, sigma=1.0)
+    return Config(
+        model=ModelConfig(image_size=56, heatmap_size=16, max_kpt=16,
+                          **model_kw),
+        train_data=dcfg, val_data=dcfg, test_data=dcfg,
+        train=TrainConfig(total_epochs=1, batch_size=3, warmup_iters=2,
+                          eval_interval=1000, ckpt_interval=1000,
+                          log_interval=1),
+        work_dir=str(tmpdir))
+
+
+def test_train_step_decreases_nothing_nan(synth, tmp_path):
+    from edgecape_tpu.train.loop import Trainer, batch_to_device_arrays
+
+    root, ann = synth
+    cfg = _cfg(root, ann, tmp_path)
+    ds = MP100Dataset(cfg.train_data, mode="train")
+    tr = Trainer(cfg, ds, log_fn=lambda *a: None)
+    batch = ds.collate([0, 1, 2], rng=np.random.default_rng(0))
+    rng = jax.random.PRNGKey(0)
+    state = tr.state
+    losses = []
+    for i in range(3):
+        state, metrics = tr.train_step(state, tr.backbone_params,
+                                       batch_to_device_arrays(batch),
+                                       jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert "proposal_loss" in metrics
+    assert "l1_loss_layer2" in metrics
+    # same batch re-fed: loss should drop after a few updates
+    assert losses[-1] <= losses[0] * 1.5
+
+
+def test_stage2_recon_branch_and_warm_start(synth, tmp_path):
+    from edgecape_tpu.train import checkpoint as ck
+    from edgecape_tpu.train.loop import Trainer, batch_to_device_arrays
+
+    root, ann = synth
+    cfg1 = _cfg(root, ann, tmp_path / "s1")
+    ds = MP100Dataset(cfg1.train_data, mode="train")
+    tr1 = Trainer(cfg1, ds, log_fn=lambda *a: None)
+    # emulate a *trained* stage-1: the kpt-branch output layers are
+    # zero-initialized (blocking gradient flow into the decoder at a fresh
+    # init, like the reference) — give them small nonzero weights so the
+    # stage-2 gradient path through the decoder is live.
+    p1 = jax.device_get(tr1.state.params)
+    for i in range(3):
+        out = p1["decoder"][f"kpt_branch{i}"]["out"]
+        out["kernel"] = np.full_like(np.asarray(out["kernel"]), 0.01)
+    tr1.state = tr1.state.replace(params=p1)
+    tr1._save("epoch_1", 0)
+
+    cfg2 = stage2_config(_cfg(root, ann, tmp_path / "s2"))
+    cfg2 = dataclasses.replace(
+        cfg2, load_from=str(tmp_path / "s1" / "epoch_1"))
+    tr2 = Trainer(cfg2, ds, backbone_params=tr1.backbone_params,
+                  log_fn=lambda *a: None)
+    # warm start: shared subtree equals stage-1 values
+    np.testing.assert_allclose(
+        np.asarray(tr2.state.params["input_proj"]["kernel"]),
+        np.asarray(tr1.state.params["input_proj"]["kernel"]))
+    # stage-2-only params exist
+    assert "refine0" in tr2.state.params["skeleton"]
+
+    batch = ds.collate([0, 1, 2], rng=np.random.default_rng(0),
+                       masking_ratio=0.5)
+    zc_before = np.asarray(
+        tr2.state.params["skeleton"]["zero_conv_w"]).copy()
+    state, metrics = tr2.train_step(tr2.state, tr2.backbone_params,
+                                    batch_to_device_arrays(batch),
+                                    jax.random.PRNGKey(0))
+    assert "adj_reconstruct_loss" in metrics
+    assert np.isfinite(float(metrics["adj_reconstruct_loss"]))
+    # skeleton params must receive gradient (through the frozen-decoder
+    # recon branch and the live adjacency)
+    moved = np.abs(np.asarray(state.params["skeleton"]["zero_conv_w"])
+                   - zc_before)
+    assert moved.max() > 0
+
+
+def test_stage3_freeze_skeleton(synth, tmp_path):
+    from edgecape_tpu.train.loop import Trainer, batch_to_device_arrays
+
+    root, ann = synth
+    cfg3 = stage3_config(_cfg(root, ann, tmp_path / "s3"))
+    ds = MP100Dataset(cfg3.train_data, mode="train")
+    tr = Trainer(cfg3, ds, log_fn=lambda *a: None)
+    batch = ds.collate([0, 1, 2], rng=np.random.default_rng(0),
+                       masking_ratio=0.5)
+    before = {rk: [np.asarray(x).copy() for x in
+                   jax.tree.leaves(tr.state.params[rk])]
+              for rk in ["skeleton", "input_proj", "query_proj"]}
+    # a decoder leaf that receives gradient even at fresh (zero-init kpt
+    # branch) initialization:
+    d_before = np.asarray(
+        tr.state.params["decoder"]["kpt_branch0"]["out"]["kernel"]).copy()
+    state, _ = tr.train_step(tr.state, tr.backbone_params,
+                             batch_to_device_arrays(batch),
+                             jax.random.PRNGKey(0))
+    # frozen subtrees unchanged
+    for root_key in ["skeleton", "input_proj", "query_proj"]:
+        after = jax.tree.leaves(state.params[root_key])
+        for b, a in zip(before[root_key], after):
+            np.testing.assert_array_equal(b, np.asarray(a))
+    # decoder (trainable) moved
+    d_after = np.asarray(
+        state.params["decoder"]["kpt_branch0"]["out"]["kernel"])
+    assert np.abs(d_before - d_after).max() > 0
+
+
+def test_fit_one_epoch_with_resume(synth, tmp_path):
+    from edgecape_tpu.train import checkpoint as ck
+    from edgecape_tpu.train.loop import Trainer
+
+    root, ann = synth
+    cfg = _cfg(root, ann, tmp_path / "fit")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, total_epochs=1,
+                                       ckpt_interval=1))
+    ds = MP100Dataset(cfg.train_data, mode="train")
+    tr = Trainer(cfg, ds, log_fn=lambda *a: None)
+    tr.fit()
+    assert ck.latest_checkpoint(cfg.work_dir) is not None
+    # resume: a second trainer starts from epoch 1 (nothing left to do)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, total_epochs=2))
+    tr2 = Trainer(cfg2, ds, backbone_params=tr.backbone_params,
+                  log_fn=lambda *a: None)
+    assert tr2.start_epoch == 1
+    tr2.fit()
