@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Web demo (gradio).
+
+Reference surface: app.py + gradio_utils/utils.py — draw keypoints and
+skeleton edges on a support image, upload a query, get predictions with
+learned edge weights rendered as line widths. Gradio is not part of the
+baked TPU image, so the app is import-gated; the underlying inference path
+is the same one demo.py uses (PoseEstimator.forward_batch).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+
+import numpy as np
+
+
+def build_interface(checkpoint=None, backbone_ckpt=None, size=256):
+    import gradio as gr
+
+    from demo import run_inference
+
+    state = {"points": [], "edges": []}
+
+    def add_point(img, evt: "gr.SelectData"):
+        state["points"].append([evt.index[0], evt.index[1]])
+        return f"{len(state['points'])} keypoints"
+
+    def add_edge(i, j):
+        state["edges"].append([int(i), int(j)])
+        return f"{len(state['edges'])} edges"
+
+    def reset():
+        state["points"], state["edges"] = [], []
+        return "cleared"
+
+    def infer(support_img, query_img):
+        ann = {"keypoints": state["points"], "skeleton": state["edges"]}
+        return run_inference(support_img, query_img, ann,
+                             checkpoint=checkpoint,
+                             backbone_ckpt=backbone_ckpt, size=size)
+
+    with gr.Blocks(title="EdgeCape-TPU") as demo_ui:
+        gr.Markdown("# EdgeCape-TPU: one-shot keypoint transfer\n"
+                    "Click keypoints on the support image, add skeleton "
+                    "edges by index, then run on a query image.")
+        with gr.Row():
+            support = gr.Image(label="support", type="numpy")
+            query = gr.Image(label="query", type="numpy")
+            out = gr.Image(label="result")
+        status = gr.Textbox(label="status")
+        with gr.Row():
+            i_box = gr.Number(label="edge i", value=0)
+            j_box = gr.Number(label="edge j", value=1)
+            edge_btn = gr.Button("add edge")
+            reset_btn = gr.Button("reset")
+            run_btn = gr.Button("run")
+        support.select(add_point, [support], [status])
+        edge_btn.click(add_edge, [i_box, j_box], [status])
+        reset_btn.click(reset, [], [status])
+        run_btn.click(infer, [support, query], [out])
+    return demo_ui
+
+
+def main():
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        print("gradio is not installed in this environment; the inference "
+              "path is available headless via demo.py:\n"
+              "  python demo.py --support s.png --query q.png "
+              "--annotation ann.json")
+        sys.exit(1)
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else None
+    build_interface(checkpoint=ckpt).launch()
+
+
+if __name__ == "__main__":
+    main()

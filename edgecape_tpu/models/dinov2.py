@@ -97,6 +97,9 @@ class DinoViT(nn.Module):
         c = self.cfg
         b, h, w, _ = images.shape
         gh, gw = h // c.patch_size, w // c.patch_size
+        # a stride-14 conv drops remainder pixels on non-divisible sizes;
+        # crop explicitly to match that semantics
+        images = images[:, :gh * c.patch_size, :gw * c.patch_size, :]
 
         # Patch embed as reshape + matmul (equivalent to the stride-14 conv).
         patches = images.reshape(b, gh, c.patch_size, gw, c.patch_size, 3)

@@ -1,0 +1,87 @@
+"""Result visualization.
+
+Behavioral spec: reference models/utils/visualization.py:238-355
+(plot_results): a 3-panel figure — support image with its GT skeleton,
+support image with the *learned* adjacency (edge width proportional to the
+predicted weight), query image with predicted keypoints — rainbow keypoint
+colors, auto-numbered output files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _colors(n):
+    import matplotlib.cm as cm
+    return [cm.rainbow(i / max(n - 1, 1)) for i in range(n)]
+
+
+def _draw_panel(ax, img, kpts, vis, edges_w, colors, title):
+    ax.imshow(np.clip(img, 0, 1) if img.dtype.kind == "f" else img)
+    ax.set_title(title)
+    ax.axis("off")
+    for (i, j), w in edges_w:
+        if vis[i] > 0 and vis[j] > 0 and w > 1e-3:
+            ax.plot([kpts[i, 0], kpts[j, 0]], [kpts[i, 1], kpts[j, 1]],
+                    color=colors[i], linewidth=float(4.0 * w), alpha=0.8)
+    for i, (x, y) in enumerate(kpts[:, :2]):
+        if vis[i] > 0:
+            ax.scatter(x, y, s=40, color=colors[i], edgecolors="k",
+                       linewidths=0.5, zorder=3)
+
+
+def denormalize_image(img: np.ndarray) -> np.ndarray:
+    from ..ops.warp import IMAGENET_MEAN, IMAGENET_STD
+    return np.clip(img * IMAGENET_STD + IMAGENET_MEAN, 0, 1)
+
+
+def plot_results(support_img, query_img, support_kpts, support_vis,
+                 pred_kpts, gt_edges, learned_adj, out_dir,
+                 prefix: str = "result", normalize_imgs: bool = True):
+    """Render the 3-panel figure; returns the written file path.
+
+    Args:
+      support_img/query_img: [H, W, 3] (normalized floats or uint8).
+      support_kpts: [K, 2] pixel coords on the support image.
+      support_vis: [K] visibility.
+      pred_kpts: [K, 2] pixel coords on the query image.
+      gt_edges: list of [i, j] GT skeleton edges.
+      learned_adj: [K, K] learned edge weights (or None).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if normalize_imgs:
+        support_img = denormalize_image(support_img)
+        query_img = denormalize_image(query_img)
+    k = support_kpts.shape[0]
+    colors = _colors(k)
+    n_panels = 3 if learned_adj is not None else 2
+    fig, axes = plt.subplots(1, n_panels, figsize=(5 * n_panels, 5))
+
+    gt_e = [((int(i), int(j)), 1.0) for i, j in gt_edges]
+    _draw_panel(axes[0], support_img, support_kpts, support_vis, gt_e,
+                colors, "support + GT skeleton")
+    if learned_adj is not None:
+        adj = np.asarray(learned_adj)
+        m = adj.max() + 1e-8
+        learned_e = [((i, j), float(adj[i, j] / m))
+                     for i in range(k) for j in range(i + 1, k)]
+        _draw_panel(axes[1], support_img, support_kpts, support_vis,
+                    learned_e, colors, "support + learned edge weights")
+    _draw_panel(axes[-1], query_img, pred_kpts, support_vis, gt_e, colors,
+                "query + prediction")
+
+    os.makedirs(out_dir, exist_ok=True)
+    idx = 0
+    while os.path.exists(os.path.join(out_dir, f"{prefix}_{idx}.png")):
+        idx += 1
+    path = os.path.join(out_dir, f"{prefix}_{idx}.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

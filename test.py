@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Mirrors the reference test.py surface: config + checkpoint -> seeded
+episodic MP-100 evaluation, PCK@{thresholds}/mPCK/NME/AUC/EPE, results json
+and a testing_log.txt append. Batched on TPU (the reference runs bs=1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import random
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate EdgeCape-TPU")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None,
+                   help="orbax checkpoint dir (omit for random weights)")
+    p.add_argument("--work-dir", dest="work_dir", default=None)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--backbone-ckpt", default=None)
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    random.seed(0)
+    np.random.seed(0)
+
+    import jax
+
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.config import Config
+    from edgecape_tpu.data.mp100 import MP100Dataset
+    from edgecape_tpu.eval.runner import append_testing_log, run_eval
+    from edgecape_tpu.parallel.mesh import make_mesh
+    from edgecape_tpu.train import checkpoint as ck
+
+    cfg = Config.from_file(args.config).override(args.cfg_options)
+    if args.work_dir:
+        cfg = dataclasses.replace(cfg, work_dir=args.work_dir)
+    work_dir = cfg.work_dir
+    os.makedirs(work_dir, exist_ok=True)
+
+    ds = MP100Dataset(cfg.test_data, mode="test")
+
+    head_params = None
+    if args.checkpoint:
+        tree = ck.load_checkpoint(args.checkpoint)
+        head_params = tree.get("params", tree)
+
+    from train import load_backbone
+    backbone = load_backbone(args.backbone_ckpt, cfg.model.image_size)
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    est = PoseEstimator(cfg, backbone_params=backbone,
+                        head_params=head_params, mesh=mesh)
+    results = run_eval(ds, est, batch_size=args.batch_size,
+                       res_folder=work_dir)
+    for k, v in results.items():
+        print(f"{k}: {v}")
+    append_testing_log(work_dir, os.path.basename(args.config),
+                       args.checkpoint or "<random>", results)
+
+
+if __name__ == "__main__":
+    main()
