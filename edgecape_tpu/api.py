@@ -60,13 +60,15 @@ class PoseEstimator:
     def _build_forward(self):
         model = self.model
         bb_cfg = self.backbone_cfg
+        dtype = jnp.dtype(self.cfg.model.compute_dtype)
 
         def forward(bb_params, head_params, img_s, img_q, target_s,
                     weight_s, binary_adj):
             b, s = img_s.shape[:2]
             imgs = jnp.concatenate(
                 [img_s.reshape((b * s,) + img_s.shape[2:]), img_q], axis=0)
-            feats = dinov2.extract_features(bb_params, imgs, bb_cfg)
+            feats = dinov2.extract_features(bb_params, imgs, bb_cfg,
+                                            dtype=dtype)
             gh, gw = feats.shape[1:3]
             feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
             feat_q = feats[b * s:]

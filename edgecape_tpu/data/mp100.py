@@ -189,6 +189,94 @@ class MP100Dataset:
         skeleton = self.db[pair[0]]["skeleton"]
         return supports, query, skeleton, pair
 
+    # ------------------------------------------------- native fast path
+    def collate_native(self, indices, *, augment: Optional[bool] = None,
+                       rng: Optional[np.random.Generator] = None,
+                       masking_ratio: float = 0.0,
+                       num_threads: int = 0) -> EpisodeBatch:
+        """Batched collate through the C++ preprocessing core
+        (native/preprocess.cc): one multithreaded call for all warps and
+        one for all heatmaps, instead of per-image python. Identical
+        outputs to `collate` up to cv2's fixed-point bilinear rounding."""
+        from ..ops.warp import (IMAGENET_MEAN, IMAGENET_STD, invert_affine)
+        from . import native as native_lib
+        from .pipeline import load_image, random_scale_rotation
+
+        cfg = self.cfg
+        augment = (self.mode == "train") if augment is None else augment
+        b, s, k = len(indices), self.num_shots, cfg.max_kpt
+        size = cfg.image_size
+        n_img = b * (s + 1)
+
+        images, inv_mats, all_joints, all_vis = [], [], [], []
+        metas = []
+        for idx in indices:
+            pair = self.paired_samples[idx]
+            recs = [self.db[i] for i in pair]
+            q_cs = None
+            for rec in recs:
+                img = load_image(rec["image_file"])
+                center = np.asarray(rec["center"], np.float32)
+                scale = np.asarray(rec["scale"], np.float32)
+                rot = float(rec.get("rotation", 0))
+                if augment and rng is not None:
+                    scale, rot = random_scale_rotation(scale, cfg, rng)
+                mat = affine.get_affine_transform(center, scale, rot,
+                                                  (size, size))
+                joints = np.asarray(rec["joints_3d"], np.float32)[:, :2]
+                vis = (np.asarray(rec["joints_3d_visible"],
+                                  np.float32)[:, 0] > 0).astype(np.float32)
+                jt = joints.copy()
+                m = vis > 0
+                jt[m] = affine.affine_transform_points(joints[m], mat)
+                images.append(img)
+                inv_mats.append(invert_affine(mat))
+                all_joints.append(jt)
+                all_vis.append(vis)
+                q_cs = (center, scale)  # last one is the query's
+            metas.append((idx, pair, recs[-1], q_cs))
+
+        warped = native_lib.warp_normalize_batch(
+            images, np.stack(inv_mats).astype(np.float32), (size, size),
+            IMAGENET_MEAN, IMAGENET_STD, num_threads)
+        targets, weights = native_lib.msra_heatmaps_batch(
+            np.stack(all_joints), np.stack(all_vis),
+            (cfg.heatmap_size, cfg.heatmap_size), (float(size), float(size)),
+            cfg.sigma, num_threads)
+
+        warped = warped.reshape(b, s + 1, size, size, 3)
+        targets = targets.reshape(b, s + 1, k, cfg.heatmap_size,
+                                  cfg.heatmap_size)
+        weights = weights.reshape(b, s + 1, k)
+        joints_arr = np.stack(all_joints).reshape(b, s + 1, k, 2)
+
+        adj = np.zeros((b, k, k), np.float32)
+        rand_mask = np.ones((b, k), np.float32)
+        centers = np.zeros((b, 2), np.float32)
+        scales = np.zeros((b, 2), np.float32)
+        paths, bbox_ids, cats, pairs = [], [], [], []
+        for bi, (idx, pair, qrec, q_cs) in enumerate(metas):
+            adj[bi] = graph.adjacency_from_edges(
+                self.db[pair[0]]["skeleton"], k)
+            if masking_ratio > 0:
+                joint_w = weights[bi, :s].prod(axis=0)
+                rand_mask[bi] = self._rand_mask(joint_w, masking_ratio)
+            centers[bi], scales[bi] = q_cs
+            paths.append(qrec["image_file"])
+            bbox_ids.append(int(idx))
+            cats.append(qrec["category_id"])
+            pairs.append(pair)
+
+        meta = {"query_center": centers, "query_scale": scales,
+                "query_image_file": paths, "bbox_id": bbox_ids,
+                "category_id": cats, "pair": pairs}
+        return EpisodeBatch(
+            img_s=warped[:, :s], target_s=targets[:, :s],
+            weight_s=weights[:, :s], img_q=warped[:, s],
+            target_q=targets[:, s], weight_q=weights[:, s],
+            joints_q=joints_arr[:, s], binary_adj=adj,
+            rand_mask=rand_mask, meta=meta)
+
     # ----------------------------------------------------------- batching
     def collate(self, indices, *, augment: Optional[bool] = None,
                 rng: Optional[np.random.Generator] = None,

@@ -49,39 +49,45 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     ln_eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # [B, N, C]
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = q * (head_dim ** -0.5)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(b, n, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class Block(nn.Module):
     cfg: DinoV2Config
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
         ls1 = self.param("ls1_gamma", nn.initializers.constant(
-            c.layerscale_init), (c.embed_dim,))
+            c.layerscale_init), (c.embed_dim,)).astype(self.dtype)
         ls2 = self.param("ls2_gamma", nn.initializers.constant(
-            c.layerscale_init), (c.embed_dim,))
-        h = nn.LayerNorm(epsilon=c.ln_eps, name="norm1")(x)
-        x = x + ls1 * Attention(c.embed_dim, c.num_heads, name="attn")(h)
-        h = nn.LayerNorm(epsilon=c.ln_eps, name="norm2")(x)
-        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), name="mlp_fc1")(h)
+            c.layerscale_init), (c.embed_dim,)).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
+                         name="norm1")(x)
+        x = x + ls1 * Attention(c.embed_dim, c.num_heads, dtype=self.dtype,
+                                name="attn")(h)
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
+                         name="norm2")(x)
+        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(c.embed_dim, name="mlp_fc2")(h)
+        h = nn.Dense(c.embed_dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + ls2 * h
 
 
@@ -89,6 +95,7 @@ class DinoViT(nn.Module):
     """ViT-S/14 trunk; __call__ returns the normed patch-token grid."""
 
     cfg: DinoV2Config = VIT_S14
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -105,7 +112,8 @@ class DinoViT(nn.Module):
         patches = images.reshape(b, gh, c.patch_size, gw, c.patch_size, 3)
         patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, gh * gw, c.patch_size * c.patch_size * 3)
-        x = nn.Dense(c.embed_dim, name="patch_embed")(patches)
+        x = nn.Dense(c.embed_dim, dtype=self.dtype,
+                     name="patch_embed")(patches)
 
         cls_token = self.param("cls_token", nn.initializers.zeros,
                                (1, 1, c.embed_dim))
@@ -119,9 +127,10 @@ class DinoViT(nn.Module):
         x = x + pos_embed.astype(x.dtype)
 
         for i in range(c.depth):
-            x = Block(c, name=f"block{i}")(x)
+            x = Block(c, dtype=self.dtype, name=f"block{i}")(x)
 
-        x = nn.LayerNorm(epsilon=c.ln_eps, name="norm")(x)
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
+                         name="norm")(x)
         feats = x[:, 1:, :]  # drop cls
         return feats.reshape(b, gh, gw, c.embed_dim)
 
@@ -136,9 +145,12 @@ def init_params(rng: jax.Array, image_size: int = 224,
 def extract_features(params: Any, images: jnp.ndarray,
                      cfg: DinoV2Config = VIT_S14,
                      dtype=jnp.float32) -> jnp.ndarray:
-    """Frozen-forward convenience: features [B, gh, gw, C], no gradient."""
-    feats = DinoViT(cfg).apply({"params": params}, images.astype(dtype))
-    return jax.lax.stop_gradient(feats)
+    """Frozen-forward convenience: features [B, gh, gw, C] (always fp32
+    out), no gradient. dtype selects the compute precision (bfloat16 for
+    the MXU fast path)."""
+    feats = DinoViT(cfg, dtype=dtype).apply({"params": params},
+                                            images.astype(dtype))
+    return jax.lax.stop_gradient(feats.astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------

@@ -42,6 +42,7 @@ class TrainState(struct.PyTreeNode):
 def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
     mcfg = cfg.model
     size = float(mcfg.image_size)
+    bb_dtype = jnp.dtype(mcfg.compute_dtype)
 
     def loss_fn(params, bb_params, batch, rng):
         r_enc, r_dec, r_rec = jax.random.split(rng, 3)
@@ -49,7 +50,8 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
         imgs = jnp.concatenate(
             [batch["img_s"].reshape((b * s,) + batch["img_s"].shape[2:]),
              batch["img_q"]], axis=0)
-        feats = dinov2.extract_features(bb_params, imgs, backbone_cfg)
+        feats = dinov2.extract_features(bb_params, imgs, backbone_cfg,
+                                        dtype=bb_dtype)
         gh, gw = feats.shape[1:3]
         feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
         feat_q = feats[b * s:]
