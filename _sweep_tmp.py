@@ -1,36 +1,22 @@
 import time, numpy as np, jax, jax.numpy as jnp
-from edgecape_tpu.config import ModelConfig
+jax.config.update("jax_compilation_cache_dir", "/tmp/edgecape_jax_cache")
 from edgecape_tpu.models import dinov2
-from edgecape_tpu.models.edgecape import EdgeCape
-cfg = ModelConfig(learn_skeleton=True, attn_bias=True, use_bias_attn_module=True)
-model = EdgeCape(cfg); bb_cfg = dinov2.VIT_S14
-k,hs = cfg.max_kpt, cfg.heatmap_size
+from edgecape_tpu.ops import flash_attention as fa
+bb_cfg = dinov2.VIT_S14
 bb_params = jax.jit(lambda r: dinov2.init_params(r, image_size=224))(jax.random.PRNGKey(0))
-init = jax.jit(lambda r: model.init({'params': r, 'dropout': jax.random.PRNGKey(0)},
-    jnp.zeros((1,16,16,384)), jnp.zeros((1,1,16,16,384)), jnp.zeros((1,1,k,hs,hs)), jnp.zeros((1,k)), jnp.zeros((1,k,k))))
-head_params = init(jax.random.PRNGKey(1))['params']
+rng = np.random.default_rng(0)
+imgs = jnp.asarray(rng.normal(size=(512,224,224,3)), jnp.float32)
 def timeit(f, *a, n=3):
-    np.asarray(f(*a))
-    ts=[]
+    np.asarray(f(*a)); ts=[]
     for i in range(n):
         t0=time.perf_counter(); np.asarray(f(*a)); ts.append(time.perf_counter()-t0)
     return 1e3*min(ts)
-rng = np.random.default_rng(0)
-b=256
-imgs = jnp.asarray(rng.normal(size=(2*b,224,224,3)), jnp.float32)
-tgt = jnp.asarray(rng.uniform(size=(b,1,k,hs,hs)), jnp.float32)
-w = jnp.ones((b,1,k)); adj = jnp.asarray(np.tile(np.eye(k,k=1,dtype=np.float32)+np.eye(k,k=-1,dtype=np.float32),(b,1,1)))
-for name, dt in [('fp32', jnp.float32), ('bf16', jnp.bfloat16)]:
-    f = jax.jit(lambda bb, im: dinov2.extract_features(bb, im, bb_cfg, dtype=dt).sum())
-    print('backbone(512) %s: %.1f ms' % (name, timeit(f, bb_params, imgs)))
-feats = jax.jit(lambda bb, im: dinov2.extract_features(bb, im, bb_cfg))(bb_params, imgs)
-fs = jax.device_put(feats[:b].reshape(b,1,16,16,-1)); fq = jax.device_put(feats[b:])
-# head components
-def head_full(hp, fq, fs):
-    out = model.apply({'params': hp}, fq, fs, tgt, jnp.prod(w,1), adj)
-    return out.outputs[-1].sum()
-print('head full: %.1f ms' % timeit(jax.jit(head_full), head_params, fq, fs))
-def enc_only(hp, fq, fs):
-    enc = model.apply({'params': hp}, fq, fs, tgt, jnp.prod(w,1), adj, method=EdgeCape.encode)
-    return enc.kp_tokens.sum()+enc.proposals.sum()
-print('encode only: %.1f ms' % timeit(jax.jit(enc_only), head_params, fq, fs))
+f_x = jax.jit(lambda bb, im: dinov2.extract_features(bb, im, bb_cfg, dtype=jnp.bfloat16, use_flash=False).sum())
+f_p = jax.jit(lambda bb, im: dinov2.extract_features(bb, im, bb_cfg, dtype=jnp.bfloat16, use_flash=True).sum())
+print('backbone bf16 xla-attn:   %.1f ms' % timeit(f_x, bb_params, imgs))
+print('backbone bf16 flash-attn: %.1f ms' % timeit(f_p, bb_params, imgs))
+# correctness on real shapes
+g_x = jax.jit(lambda bb, im: dinov2.extract_features(bb, im, bb_cfg, dtype=jnp.float32, use_flash=False))
+g_p = jax.jit(lambda bb, im: dinov2.extract_features(bb, im, bb_cfg, dtype=jnp.float32, use_flash=True))
+a = np.asarray(g_x(bb_params, imgs[:8])); b = np.asarray(g_p(bb_params, imgs[:8]))
+print('feat diff flash vs xla (fp32 in/out): max %.5f mean %.6f' % (np.abs(a-b).max(), np.abs(a-b).mean()))

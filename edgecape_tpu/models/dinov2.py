@@ -50,6 +50,7 @@ class Attention(nn.Module):
     num_heads: int
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
+    use_flash: bool = False  # Pallas fused attention (TPU only)
 
     @nn.compact
     def __call__(self, x):  # [B, N, C]
@@ -58,11 +59,15 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q = q * (head_dim ** -0.5)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if self.use_flash:
+            from ..ops.flash_attention import flash_mha
+            out = flash_mha(q, k, v)
+        else:
+            q = q * (head_dim ** -0.5)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -70,6 +75,7 @@ class Attention(nn.Module):
 class Block(nn.Module):
     cfg: DinoV2Config
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -81,7 +87,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
                          name="norm1")(x)
         x = x + ls1 * Attention(c.embed_dim, c.num_heads, dtype=self.dtype,
-                                name="attn")(h)
+                                use_flash=self.use_flash, name="attn")(h)
         h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
                          name="norm2")(x)
         h = nn.Dense(int(c.embed_dim * c.mlp_ratio), dtype=self.dtype,
@@ -96,6 +102,7 @@ class DinoViT(nn.Module):
 
     cfg: DinoV2Config = VIT_S14
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -127,7 +134,8 @@ class DinoViT(nn.Module):
         x = x + pos_embed.astype(x.dtype)
 
         for i in range(c.depth):
-            x = Block(c, dtype=self.dtype, name=f"block{i}")(x)
+            x = Block(c, dtype=self.dtype, use_flash=self.use_flash,
+                      name=f"block{i}")(x)
 
         x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
                          name="norm")(x)
@@ -144,12 +152,16 @@ def init_params(rng: jax.Array, image_size: int = 224,
 
 def extract_features(params: Any, images: jnp.ndarray,
                      cfg: DinoV2Config = VIT_S14,
-                     dtype=jnp.float32) -> jnp.ndarray:
+                     dtype=jnp.float32,
+                     use_flash: Any = "auto") -> jnp.ndarray:
     """Frozen-forward convenience: features [B, gh, gw, C] (always fp32
     out), no gradient. dtype selects the compute precision (bfloat16 for
-    the MXU fast path)."""
-    feats = DinoViT(cfg, dtype=dtype).apply({"params": params},
-                                            images.astype(dtype))
+    the MXU fast path); use_flash enables the Pallas fused-attention
+    kernel ("auto" = on TPU backends only)."""
+    if use_flash == "auto":
+        use_flash = jax.default_backend() == "tpu"
+    feats = DinoViT(cfg, dtype=dtype, use_flash=bool(use_flash)).apply(
+        {"params": params}, images.astype(dtype))
     return jax.lax.stop_gradient(feats.astype(jnp.float32))
 
 

@@ -1,0 +1,111 @@
+"""Fused multi-head self-attention (Pallas, TPU).
+
+The ViT backbone's attention dominates the forward cost when expressed as
+separate XLA ops (score matmul -> fp32 softmax materialized in HBM -> value
+matmul, ~800MB of intermediates per block at eval batch sizes). This kernel
+keeps the whole per-(batch*head, q-tile) attention in VMEM: one
+[TILE_Q, D] x [D, N] MXU matmul, VPU softmax with padded-key masking, one
+[TILE_Q, N] x [N, D] matmul — no HBM round trips for scores.
+
+Sequence lengths here are small and static (257 ViT tokens, <=356 head
+tokens), so no online-softmax streaming is needed: full K/V rows fit VMEM
+comfortably (257 x 64 bf16 = 33KB).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_real: int):
+    # blocks: q/o [G, TILE_Q, D], k/v [G, N_pad, D]; loop over the G
+    # (batch*head) rows to amortize grid/DMA overhead
+    n_pad = k_ref.shape[1]
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g].astype(jnp.bfloat16)
+        k = k_ref[g].astype(jnp.bfloat16)
+        v = v_ref[g].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [TILE_Q, N_pad]
+        if n_real < n_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_real, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[g] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_mha(q, k, v, *, interpret: bool = False):
+    """Fused softmax(q k^T / sqrt(D)) v.
+
+    q/k/v: [B, N, H, D] (the backbone's natural layout) -> [B, N, H, D].
+    """
+    b, n, h, d = q.shape
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+    scale = 1.0 / math.sqrt(d)
+    # single q-tile per (batch, head) when the sequence is short (the ViT's
+    # 257 tokens): K/V are DMA'd exactly once per program
+    if n <= 512:
+        tile_q = _round_up(n, 128 if n >= 128 else 16)
+    else:
+        tile_q = 128
+    n_pad = _round_up(n, tile_q)
+    if n_pad != n:
+        pad = [(0, 0), (0, n_pad - n), (0, 0)]
+        qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
+    bh = b * h
+    # group size: amortize per-program overhead while staying inside the
+    # 16MB scoped-VMEM limit (4 blocks, double-buffered, + score scratch)
+    group = 1
+    itemsize = jnp.dtype(q.dtype).itemsize
+    if n_pad == tile_q:
+        for g in (16, 12, 8, 4, 2):
+            need = 4 * 2 * g * n_pad * d * itemsize + 2 * tile_q * n_pad * 4
+            if bh % g == 0 and need < 12 * 1024 * 1024:
+                group = g
+                break
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, n_real=n),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        grid=(bh // group, n_pad // tile_q),
+        in_specs=[
+            pl.BlockSpec((group, tile_q, d), lambda bi, i: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, tile_q, d), lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qt, kt, vt)
+    return out[:, :n, :].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def reference_mha(q, k, v):
+    """Pure-jnp reference with identical semantics ([B, N, H, D])."""
+    d = q.shape[-1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(d)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
