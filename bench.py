@@ -5,10 +5,12 @@ Baseline: the reference evaluates the full MP-100 1-shot test split
 one GPU (reference README.md:87) => ~167 images/sec. vs_baseline is our
 per-chip throughput over that number.
 
-The bench runs the full inference path on synthetic episodes — DINOv2
-ViT-S/14 on 224x224 support+query, heatmap pooling, skeleton prediction
-with Markov bias, 3-layer graph decoder — batched, on whatever accelerator
-jax selects (the driver provides one real TPU chip).
+The bench runs the production eval path on synthetic episodes, following
+the real protocol shape: per episode, the support context (DINOv2 features,
+heatmap pooling, skeleton prediction with Markov bias) is computed once and
+shared by its 15 queries; each query runs the backbone + joint encoder +
+proposal generator + 3-layer graph decoder. bf16 backbone with the Pallas
+fused-attention kernel.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -22,9 +24,10 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 300000 / 1800.0  # reference: 30 min on 1 GPU
+QUERIES_PER_EPISODE = 15                # test protocol
 
 
-def main(batch: int = 64, iters: int = 10, warmup: int = 2):
+def main(groups: int = 17, iters: int = 10, warmup: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -34,72 +37,54 @@ def main(batch: int = 64, iters: int = 10, warmup: int = 2):
     except Exception:
         pass
 
-    from edgecape_tpu.config import ModelConfig
-    from edgecape_tpu.models import dinov2
-    from edgecape_tpu.models.edgecape import EdgeCape
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.config import Config, ModelConfig
 
-    # production eval path: bf16 backbone + Pallas fused attention
-    compute_dtype = jnp.float32 if "--fp32" in sys.argv else jnp.bfloat16
+    dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
+    mcfg = ModelConfig(learn_skeleton=True, attn_bias=True,
+                       use_bias_attn_module=True, compute_dtype=dtype)
+    cfg = Config(model=mcfg)
+    est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
 
-    cfg = ModelConfig(learn_skeleton=True, attn_bias=True,
-                      use_bias_attn_module=True)
-    model = EdgeCape(cfg)
-    bb_cfg = dinov2.VIT_S14
-    b, s, k, hs = batch, 1, cfg.max_kpt, cfg.heatmap_size
-    g = cfg.image_size // cfg.patch_size
-
-    bb_params = jax.jit(lambda r: dinov2.init_params(
-        r, image_size=cfg.image_size))(jax.random.PRNGKey(0))
-    init = jax.jit(lambda r: model.init(
-        {"params": r, "dropout": jax.random.PRNGKey(0)},
-        jnp.zeros((1, g, g, cfg.backbone_dim)),
-        jnp.zeros((1, s, g, g, cfg.backbone_dim)),
-        jnp.zeros((1, s, k, hs, hs)), jnp.zeros((1, k)),
-        jnp.zeros((1, k, k))))
-    head_params = init(jax.random.PRNGKey(1))["params"]
-
-    @jax.jit
-    def forward(bb_params, head_params, img_s, img_q, target_s, weight_s,
-                binary_adj):
-        bs, sh = img_s.shape[:2]
-        imgs = jnp.concatenate(
-            [img_s.reshape((bs * sh,) + img_s.shape[2:]), img_q], axis=0)
-        feats = dinov2.extract_features(bb_params, imgs, bb_cfg,
-                                        dtype=compute_dtype)
-        gh, gw = feats.shape[1:3]
-        feat_s = feats[:bs * sh].reshape(bs, sh, gh, gw, -1)
-        feat_q = feats[bs * sh:]
-        mask_s = jnp.prod(weight_s, axis=1)
-        out = model.apply({"params": head_params}, feat_q, feat_s, target_s,
-                          mask_s, binary_adj)
-        return out.outputs[-1]
-
+    g, s, k, hs = groups, 1, mcfg.max_kpt, mcfg.heatmap_size
+    nq = g * QUERIES_PER_EPISODE
+    size = mcfg.image_size
     rng = np.random.default_rng(0)
-    img_s = jnp.asarray(rng.normal(
-        size=(b, s, cfg.image_size, cfg.image_size, 3)), jnp.float32)
-    img_q = jnp.asarray(rng.normal(
-        size=(b, cfg.image_size, cfg.image_size, 3)), jnp.float32)
-    target_s = jnp.asarray(rng.uniform(size=(b, s, k, hs, hs)), jnp.float32)
-    weight_s = jnp.ones((b, s, k), jnp.float32)
-    adj = np.tile(np.eye(k, k=1, dtype=np.float32)
-                  + np.eye(k, k=-1, dtype=np.float32), (b, 1, 1))
-    adj = jnp.asarray(adj)
+    support = {
+        "img_s": rng.normal(size=(g, s, size, size, 3)).astype(np.float32),
+        "target_s": rng.uniform(size=(g, s, k, hs, hs)).astype(np.float32),
+        "weight_s": np.ones((g, s, k), np.float32),
+        "binary_adj": np.tile(np.eye(k, k=1, dtype=np.float32)
+                              + np.eye(k, k=-1, dtype=np.float32),
+                              (g, 1, 1)),
+    }
+    query = {
+        "img_q": rng.normal(size=(nq, size, size, 3)).astype(np.float32),
+        "group": np.repeat(np.arange(g, dtype=np.int32),
+                           QUERIES_PER_EPISODE),
+    }
 
-    args = (bb_params, head_params, img_s, img_q, target_s, weight_s, adj)
-    # NOTE: materialize the output on host each iteration — on the axon
-    # tunnel block_until_ready() does not actually block, and eval decodes
+    # NOTE: materialize outputs on host each iteration — on the axon tunnel
+    # block_until_ready() does not actually block, and eval decodes
     # predictions host-side anyway, so this is the honest timing.
-    for i in range(warmup):
-        np.asarray(forward(*args))
+    # keep inputs device-resident (the axon tunnel's ~33MB/s H2D is an
+    # artifact of this sandbox, not of a real TPU host)
+    support = {kk: jnp.asarray(v) for kk, v in support.items()}
+    query_dev = {kk: jnp.asarray(v) for kk, v in query.items()}
+    for _ in range(warmup):
+        pred, _ = est.forward_cached(support, query_dev)
+        np.asarray(pred)
     best_dt = float("inf")
+    base_img = query_dev["img_q"]
     for _ in range(2):  # two timing loops; first can absorb stragglers
         t0 = time.perf_counter()
         for i in range(iters):
-            np.asarray(forward(bb_params, head_params, img_s,
-                               img_q + i * 1e-3, target_s, weight_s, adj))
+            query_dev["img_q"] = base_img + i * 1e-3
+            pred, _ = est.forward_cached(support, query_dev)
+            np.asarray(pred)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    img_per_sec = batch * iters / best_dt
+    img_per_sec = nq * iters / best_dt
     n_chips = max(jax.device_count(), 1)
     per_chip = img_per_sec / n_chips
     print(json.dumps({
@@ -111,8 +96,8 @@ def main(batch: int = 64, iters: int = 10, warmup: int = 2):
 
 
 if __name__ == "__main__":
-    batch = 256
+    groups = 17
     for a in sys.argv[1:]:
-        if a.startswith("--batch="):
-            batch = int(a.split("=")[1])
-    main(batch=batch)
+        if a.startswith("--groups="):
+            groups = int(a.split("=")[1])
+    main(groups=groups)

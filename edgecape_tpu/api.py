@@ -94,6 +94,58 @@ class PoseEstimator:
                                    jax.sharding.PartitionSpec(None, "data"))))
         return jax.jit(forward)
 
+    # ------------------------------------------- cached-support forward
+    def _build_cached_fns(self):
+        model = self.model
+        bb_cfg = self.backbone_cfg
+        dtype = jnp.dtype(self.cfg.model.compute_dtype)
+
+        def support_fn(bb_params, head_params, img_s, target_s, weight_s,
+                       binary_adj):
+            g, s = img_s.shape[:2]
+            feats = dinov2.extract_features(
+                bb_params, img_s.reshape((g * s,) + img_s.shape[2:]),
+                bb_cfg, dtype=dtype)
+            gh, gw = feats.shape[1:3]
+            feat_s = feats.reshape(g, s, gh, gw, -1)
+            mask_s = jnp.prod(weight_s, axis=1)
+            ctx = model.apply({"params": head_params}, feat_s, target_s,
+                              mask_s, binary_adj,
+                              method=type(model).encode_support)
+            return ctx
+
+        def query_fn(bb_params, head_params, ctx, group, img_q):
+            feat_q = dinov2.extract_features(bb_params, img_q, bb_cfg,
+                                             dtype=dtype)
+            # gather each query row's support context
+            ctx_rows = jax.tree.map(lambda a: a[group], ctx)
+            enc = model.apply({"params": head_params}, feat_q, ctx_rows,
+                              method=type(model).encode_query)
+            outputs, _ = model.apply(
+                {"params": head_params}, enc.kp_tokens, enc.img_tokens,
+                enc.proposals, enc.adj, enc.hop_stack, enc.kp_valid,
+                enc.img_pos, method=type(model).decode)
+            return outputs[-1], enc.raw_adj
+
+        return jax.jit(support_fn), jax.jit(query_fn)
+
+    def forward_cached(self, support: dict, query: dict):
+        """Split-phase forward: support context computed once per episode
+        group, queries gathered onto it. Returns (pred_norm [Nq, K, 2],
+        raw_adj [Nq, K, K])."""
+        if not hasattr(self, "_cached_fns") or self._cached_fns is None:
+            self._cached_fns = self._build_cached_fns()
+        sup_fn, q_fn = self._cached_fns
+        ctx = sup_fn(self.backbone_params, self.head_params,
+                     jnp.asarray(support["img_s"]),
+                     jnp.asarray(support["target_s"]),
+                     jnp.asarray(support["weight_s"]),
+                     jnp.asarray(support["binary_adj"]))
+        pred, raw_adj = q_fn(self.backbone_params, self.head_params, ctx,
+                             jnp.asarray(query["group"]),
+                             jnp.asarray(query["img_q"]))
+        return pred, raw_adj
+
     def forward_batch(self, batch: EpisodeBatch):
         """Returns (pred_norm [B, K, 2] in [0,1], raw_adj [B, K, K],
         trajectory [L+1, B, K, 2]) as device arrays."""

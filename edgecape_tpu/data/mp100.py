@@ -189,6 +189,86 @@ class MP100Dataset:
         skeleton = self.db[pair[0]]["skeleton"]
         return supports, query, skeleton, pair
 
+    # -------------------------------------------------- support grouping
+    def support_groups(self):
+        """Consecutive episode rows sharing the same support set (val/test
+        episodes are generated as num_queries consecutive rows per
+        episode). Returns list of (support_ids tuple, [row indices])."""
+        groups = []
+        cur_key, cur_rows = None, []
+        for i, pair in enumerate(self.paired_samples):
+            key = tuple(pair[:-1])
+            if key != cur_key:
+                if cur_rows:
+                    groups.append((cur_key, cur_rows))
+                cur_key, cur_rows = key, []
+            cur_rows.append(i)
+        if cur_rows:
+            groups.append((cur_key, cur_rows))
+        return groups
+
+    def collate_group(self, groups, *, use_native: bool = True):
+        """Collate G support groups + all their queries.
+
+        Returns (support arrays dict [G, ...], query EpisodeBatch-like dict
+        with [sum(len(rows)), ...] and per-row group index).
+        Support images are preprocessed once per group instead of once per
+        query (the reference re-runs them for each of the 15 queries).
+        """
+        cfg = self.cfg
+        s, k = self.num_shots, cfg.max_kpt
+        g = len(groups)
+        size, hs = cfg.image_size, cfg.heatmap_size
+
+        sup_img = np.zeros((g, s, size, size, 3), np.float32)
+        sup_tgt = np.zeros((g, s, k, hs, hs), np.float32)
+        sup_w = np.zeros((g, s, k), np.float32)
+        adj = np.zeros((g, k, k), np.float32)
+
+        q_rows = [r for _, rows in groups for r in rows]
+        nq = len(q_rows)
+        q_img = np.zeros((nq, size, size, 3), np.float32)
+        q_w = np.zeros((nq, k), np.float32)
+        joints_q = np.zeros((nq, k, 2), np.float32)
+        group_of_row = np.zeros(nq, np.int32)
+        centers = np.zeros((nq, 2), np.float32)
+        scales = np.zeros((nq, 2), np.float32)
+        paths, bbox_ids, cats = [], [], []
+
+        for gi, (sup_ids, rows) in enumerate(groups):
+            for si, sid in enumerate(sup_ids):
+                sample = preprocess(self.db[sid], cfg, augment=False)
+                sup_img[gi, si] = sample.img
+                sup_tgt[gi, si] = sample.target
+                sup_w[gi, si] = sample.target_weight
+            adj[gi] = graph.adjacency_from_edges(
+                self.db[sup_ids[0]]["skeleton"], k)
+
+        row_i = 0
+        for gi, (sup_ids, rows) in enumerate(groups):
+            for r in rows:
+                qid = self.paired_samples[r][-1]
+                sample = preprocess(self.db[qid], cfg, augment=False)
+                q_img[row_i] = sample.img
+                q_w[row_i] = sample.target_weight
+                joints_q[row_i] = sample.joints
+                group_of_row[row_i] = gi
+                centers[row_i] = sample.center
+                scales[row_i] = sample.scale
+                paths.append(self.db[qid]["image_file"])
+                bbox_ids.append(int(r))
+                cats.append(self.db[qid]["category_id"])
+                row_i += 1
+
+        support = {"img_s": sup_img, "target_s": sup_tgt,
+                   "weight_s": sup_w, "binary_adj": adj}
+        query = {"img_q": q_img, "weight_q": q_w, "joints_q": joints_q,
+                 "group": group_of_row}
+        meta = {"query_center": centers, "query_scale": scales,
+                "query_image_file": paths, "bbox_id": bbox_ids,
+                "category_id": cats}
+        return support, query, meta
+
     # ------------------------------------------------- native fast path
     def collate_native(self, indices, *, augment: Optional[bool] = None,
                        rng: Optional[np.random.Generator] = None,

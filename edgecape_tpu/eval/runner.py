@@ -25,34 +25,75 @@ from ..data.mp100 import MP100Dataset
 from . import metrics
 
 
+def _records_from(preds_img, meta, dataset):
+    """Build result-json records from decoded predictions + meta."""
+    records = []
+    n = preds_img.shape[0]
+    for i in range(n):
+        path = meta["query_image_file"][i]
+        kp = np.concatenate([preds_img[i], np.ones((preds_img.shape[1], 1))],
+                            axis=1)
+        records.append({
+            "keypoints": kp.tolist(),
+            "center": list(map(float, meta["query_center"][i])),
+            "scale": list(map(float, meta["query_scale"][i])),
+            "area": float(np.prod(meta["query_scale"][i] * 200.0)),
+            "score": 1.0,
+            "image_id": dataset.name2id.get(
+                os.path.relpath(path, dataset.img_prefix), -1),
+            "bbox_id": meta["bbox_id"][i],
+        })
+    return records
+
+
 def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
              batch_size: int = 32, res_folder: str = ".",
              metric_list=("PCK", "NME", "AUC", "EPE"),
-             progress: bool = True) -> OrderedDict:
+             progress: bool = True,
+             cache_supports: bool = False) -> OrderedDict:
     os.makedirs(res_folder, exist_ok=True)
+    from ..ops.affine import transform_preds_batch
+
     records = []
     t0 = time.time()
     n_done = 0
-    for batch in dataset.batches(batch_size, masking_ratio=0.0):
-        pred_norm, _, _ = estimator.forward_batch(batch)
-        out = estimator.decode_batch(np.asarray(pred_norm), batch)
-        for i in range(len(out["bbox_ids"])):
-            path = out["image_paths"][i]
-            records.append({
-                "keypoints": out["preds"][i].tolist(),
-                "center": out["boxes"][i][0:2].tolist(),
-                "scale": out["boxes"][i][2:4].tolist(),
-                "area": float(out["boxes"][i][4]),
-                "score": float(out["boxes"][i][5]),
-                "image_id": dataset.name2id.get(
-                    os.path.relpath(path, dataset.img_prefix), -1),
-                "bbox_id": out["bbox_ids"][i],
-            })
-        n_done += len(out["bbox_ids"])
-        if progress:
-            rate = n_done / max(time.time() - t0, 1e-9)
-            print(f"\reval {n_done}/{len(dataset)} "
-                  f"({rate:.1f} img/s)", end="", flush=True)
+    size = estimator.cfg.model.image_size
+
+    if cache_supports:
+        # split-phase: support context once per episode, gathered by the
+        # 15 queries that share it (the big eval-throughput win)
+        groups = dataset.support_groups()
+        nq = max(len(rows) for _, rows in groups)
+        g_per_batch = max(1, batch_size // nq)
+        for start in range(0, len(groups), g_per_batch):
+            chunk = groups[start:start + g_per_batch]
+            support, query, meta = dataset.collate_group(chunk)
+            pred_norm, _ = estimator.forward_cached(support, query)
+            coords = np.asarray(pred_norm) * size
+            preds_img = transform_preds_batch(
+                coords, meta["query_center"], meta["query_scale"],
+                (size, size))
+            records.extend(_records_from(preds_img, meta, dataset))
+            n_done += coords.shape[0]
+            if progress:
+                rate = n_done / max(time.time() - t0, 1e-9)
+                print(f"\reval {n_done}/{len(dataset)} "
+                      f"({rate:.1f} img/s)", end="", flush=True)
+    else:
+        for batch in dataset.batches(batch_size, masking_ratio=0.0):
+            pred_norm, _, _ = estimator.forward_batch(batch)
+            out = estimator.decode_batch(np.asarray(pred_norm), batch)
+            records.extend(_records_from(
+                out["preds"][:, :, :2],
+                {"query_image_file": out["image_paths"],
+                 "query_center": out["boxes"][:, 0:2],
+                 "query_scale": out["boxes"][:, 2:4],
+                 "bbox_id": out["bbox_ids"]}, dataset))
+            n_done += len(out["bbox_ids"])
+            if progress:
+                rate = n_done / max(time.time() - t0, 1e-9)
+                print(f"\reval {n_done}/{len(dataset)} "
+                      f"({rate:.1f} img/s)", end="", flush=True)
     if progress:
         print()
 

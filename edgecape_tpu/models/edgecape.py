@@ -44,6 +44,17 @@ from .skeleton import SkeletonPredictor
 from .transformer import (Decoder, EncoderLayer, ProposalGenerator, dense)
 
 
+class SupportContext(NamedTuple):
+    """Everything derived from the support set alone — cacheable across the
+    15 queries of an episode (the reference recomputes it per query)."""
+    kp_tokens0: jnp.ndarray        # [B, K, C] pooled+projected kp tokens
+    kp_valid: jnp.ndarray          # [B, K] bool
+    mask_s: jnp.ndarray            # [B, K] float joint support visibility
+    adj: jnp.ndarray               # [B, 2, K, K]
+    hop_stack: Optional[jnp.ndarray]
+    raw_adj: jnp.ndarray           # [B, K, K]
+
+
 class EncodeOutput(NamedTuple):
     img_tokens: jnp.ndarray        # [B, HW, C] encoder-refined image tokens
     kp_tokens: jnp.ndarray         # [B, K, C] encoder-refined kp tokens
@@ -96,24 +107,25 @@ class EdgeCape(nn.Module):
         self.mask_token = self.param("mask_token", nn.initializers.zeros,
                                      (1, c.d_model))
 
-    # ------------------------------------------------------------ encode
-    def encode(self, feat_q, feat_s, target_s, mask_s, binary_adj,
-               train: bool = False) -> EncodeOutput:
-        """
+    # ---------------------------------------------------- support phase
+    def encode_support(self, feat_s, target_s, mask_s, binary_adj,
+                       train: bool = False) -> SupportContext:
+        """Support-only computation: heatmap-pooled keypoint tokens and the
+        skeleton prediction. Depends on nothing from the query, so eval can
+        cache it per episode (reference recomputes per query at bs=1).
+
         Args:
-          feat_q: [B, gh, gw, Cb] query backbone features.
           feat_s: [B, S, gh, gw, Cb] support backbone features.
           target_s: [B, S, K, H, W] support GT heatmaps.
           mask_s: [B, K] joint support visibility (product over shots).
           binary_adj: [B, K, K] GT skeleton adjacency.
         """
         c = self.cfg
-        b, gh, gw, _ = feat_q.shape
+        b, s, gh, gw, _ = feat_s.shape
         hw = gh * gw
-        img_tokens = self.input_proj(feat_q.reshape(b, hw, -1))
         img_pos = jnp.broadcast_to(
             pos_enc.sine_grid(gh, gw, c.num_feats).reshape(hw, c.d_model),
-            (b, hw, c.d_model)).astype(img_tokens.dtype)
+            (b, hw, c.d_model)).astype(feat_s.dtype)
 
         pooled = pool_support_keypoints(feat_s, target_s)      # [B, K, Cb]
         pooled = pooled * mask_s[..., None]
@@ -122,13 +134,30 @@ class EdgeCape(nn.Module):
 
         adj, hop_stack, raw_adj = self.skeleton(
             binary_adj, kp_tokens0, feat_s, kp_valid, img_pos, train=train)
+        return SupportContext(kp_tokens0=kp_tokens0, kp_valid=kp_valid,
+                              mask_s=mask_s, adj=adj, hop_stack=hop_stack,
+                              raw_adj=raw_adj)
 
+    # ------------------------------------------------------ query phase
+    def encode_query(self, feat_q, ctx: SupportContext,
+                     train: bool = False) -> EncodeOutput:
+        """Joint encoder over [query image tokens ++ support kp tokens],
+        then the proposal generator."""
+        c = self.cfg
+        b, gh, gw, _ = feat_q.shape
+        hw = gh * gw
+        img_tokens = self.input_proj(feat_q.reshape(b, hw, -1))
+        img_pos = jnp.broadcast_to(
+            pos_enc.sine_grid(gh, gw, c.num_feats).reshape(hw, c.d_model),
+            (b, hw, c.d_model)).astype(img_tokens.dtype)
+
+        kp_tokens0 = ctx.kp_tokens0
         k = kp_tokens0.shape[1]
         tokens = jnp.concatenate([img_tokens, kp_tokens0], axis=1)
         pos = jnp.concatenate(
             [img_pos, jnp.zeros((b, k, c.d_model), img_pos.dtype)], axis=1)
         valid = jnp.concatenate(
-            [jnp.ones((b, hw), bool), kp_valid], axis=1)
+            [jnp.ones((b, hw), bool), ctx.kp_valid], axis=1)
         for layer in self.encoder_layers:
             tokens = layer(tokens, pos, valid, train=train)
         enc_img, enc_kp = tokens[:, :hw], tokens[:, hw:]
@@ -137,10 +166,18 @@ class EdgeCape(nn.Module):
                                                       (gh, gw))
         return EncodeOutput(
             img_tokens=enc_img, kp_tokens=enc_kp, kp_tokens_pre=kp_tokens0,
-            img_pos=img_pos, kp_valid=kp_valid, adj=adj, hop_stack=hop_stack,
-            raw_adj=raw_adj, proposals=proposals,
-            proposals_for_loss=prop_loss,
+            img_pos=img_pos, kp_valid=ctx.kp_valid, adj=ctx.adj,
+            hop_stack=ctx.hop_stack, raw_adj=ctx.raw_adj,
+            proposals=proposals, proposals_for_loss=prop_loss,
             similarity=sim.reshape(b, k, gh, gw), spatial_hw=(gh, gw))
+
+    # ------------------------------------------------------------ encode
+    def encode(self, feat_q, feat_s, target_s, mask_s, binary_adj,
+               train: bool = False) -> EncodeOutput:
+        """Full encode (support + query phases)."""
+        ctx = self.encode_support(feat_s, target_s, mask_s, binary_adj,
+                                  train=train)
+        return self.encode_query(feat_q, ctx, train=train)
 
     # ------------------------------------------------------------ decode
     def decode(self, kp_tokens, img_tokens, proposals, adj, hop_stack,

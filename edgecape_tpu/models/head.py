@@ -12,6 +12,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _bilinear_matrix(src: int, dst: int) -> jnp.ndarray:
+    """[dst, src] matrix of jax.image.resize(..., 'linear') along one axis
+    (columns = resized basis vectors; resize is linear, so this is exact)."""
+    return jax.image.resize(jnp.eye(src, dtype=jnp.float32), (dst, src),
+                            method="linear")
+
+
 def pool_support_keypoints(support_feats: jnp.ndarray,
                            support_heatmaps: jnp.ndarray) -> jnp.ndarray:
     """Heatmap-weighted pooling of support features per keypoint.
@@ -22,17 +29,24 @@ def pool_support_keypoints(support_feats: jnp.ndarray,
     Returns:
       [B, K, C] pooled tokens, averaged over shots.
 
-    The feature map is bilinearly upsampled to the heatmap grid and each
-    heatmap is sum-normalized before pooling (reference head.py:175-187).
+    Semantics (reference head.py:175-187): bilinearly upsample the feature
+    map to the heatmap grid, sum-normalize each heatmap, pool. Computed via
+    the adjoint instead — sum_j h_j (U f)_j == sum_i (U^T h)_i f_i with U
+    the separable bilinear upsampler — so the normalized heatmap is
+    downsampled through U^T (two small matmuls) and the 16x larger
+    upsampled feature map is never materialized. Exactly equal.
     """
     b, s, gh, gw, c = support_feats.shape
     _, _, k, hh, hw = support_heatmaps.shape
-    feats = jax.image.resize(support_feats, (b, s, hh, hw, c),
-                             method="linear")
     hm = support_heatmaps.reshape(b, s, k, hh * hw)
-    hm = hm / (hm.sum(axis=-1, keepdims=True) + 1e-8)
-    pooled = jnp.einsum("bskp,bspc->bskc", hm,
-                        feats.reshape(b, s, hh * hw, c),
+    hm = (hm / (hm.sum(axis=-1, keepdims=True) + 1e-8)).reshape(
+        b, s, k, hh, hw)
+    uy = _bilinear_matrix(gh, hh)       # [hh, gh]
+    ux = _bilinear_matrix(gw, hw)       # [hw, gw]
+    hm_small = jnp.einsum("Yy,bskYX,Xx->bskyx", uy, hm, ux,
+                          preferred_element_type=jnp.float32)
+    pooled = jnp.einsum("bskyx,bsyxc->bskc", hm_small,
+                        support_feats.astype(jnp.float32),
                         preferred_element_type=jnp.float32)
     return pooled.mean(axis=1).astype(support_feats.dtype)
 

@@ -22,7 +22,10 @@ def parse_args():
     p.add_argument("checkpoint", nargs="?", default=None,
                    help="orbax checkpoint dir (omit for random weights)")
     p.add_argument("--work-dir", dest="work_dir", default=None)
-    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=240)
+    p.add_argument("--no-cache-supports", action="store_true",
+                   help="disable per-episode support-context caching "
+                   "(slower; identical outputs)")
     p.add_argument("--backbone-ckpt", default=None)
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -62,7 +65,8 @@ def main():
     est = PoseEstimator(cfg, backbone_params=backbone,
                         head_params=head_params, mesh=mesh)
     results = run_eval(ds, est, batch_size=args.batch_size,
-                       res_folder=work_dir)
+                       res_folder=work_dir,
+                       cache_supports=not args.no_cache_supports)
     for k, v in results.items():
         print(f"{k}: {v}")
     append_testing_log(work_dir, os.path.basename(args.config),

@@ -123,3 +123,37 @@ def test_metrics_perfect_prediction(synth_root):
     res = compute_metrics(ds, records, ("PCK", "NME", "AUC", "EPE"))
     assert res["PCK@0.2"] == 1.0
     assert res["EPE"] == 0.0
+
+
+def test_cached_eval_matches_uncached(synth_root):
+    """Support-context caching must be output-identical to the per-query
+    path (same params, same episodes)."""
+    import jax
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.eval import runner
+
+    root, ann = synth_root
+    dcfg = _data_cfg(root, ann)
+    model_cfg = ModelConfig(image_size=56, heatmap_size=16, max_kpt=16,
+                            learn_skeleton=True)
+    cfg = Config(model=model_cfg, test_data=dcfg)
+    ds = MP100Dataset(dcfg, mode="test")
+    est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    r1 = runner.run_eval(ds, est, batch_size=6,
+                         res_folder="/tmp/ec_eval_u", progress=False)
+    r2 = runner.run_eval(ds, est, batch_size=6,
+                         res_folder="/tmp/ec_eval_c", progress=False,
+                         cache_supports=True)
+    import json
+    with open("/tmp/ec_eval_u/result_keypoints.json") as f:
+        a = json.load(f)
+    with open("/tmp/ec_eval_c/result_keypoints.json") as f:
+        b = json.load(f)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra["bbox_id"] == rb["bbox_id"]
+        np.testing.assert_allclose(ra["keypoints"], rb["keypoints"],
+                                   atol=2e-3)
+    for key in ["PCK", "mPCK", "EPE"]:
+        assert abs(r1[key] - r2[key]) < 1e-6 or \
+            abs(r1[key] - r2[key]) / max(abs(r1[key]), 1e-9) < 0.02

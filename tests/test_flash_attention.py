@@ -1,0 +1,38 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edgecape_tpu.ops import flash_attention as fa
+
+
+@pytest.mark.parametrize("b,n,h,d", [
+    (2, 257, 6, 64),   # ViT-S/14 @ 224
+    (3, 100, 8, 32),   # keypoint tokens
+    (1, 356, 8, 32),   # encoder concat length
+    (2, 128, 4, 64),   # exact tile
+])
+def test_flash_matches_reference(b, n, h, d):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    ref = np.asarray(fa.reference_mha(q, k, v))
+    out = np.asarray(fa.flash_mha(q, k, v, interpret=True))
+    # kernel computes in bf16 -> tolerance at bf16 resolution
+    np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
+
+
+def test_flash_padded_keys_excluded():
+    """Outputs must not depend on the zero-padded key rows: compare n=257
+    against a manual computation restricted to the real keys."""
+    rng = np.random.default_rng(1)
+    b, n, h, d = 1, 130, 2, 64  # pads to 256
+    q = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    out = np.asarray(fa.flash_mha(q, k, v, interpret=True))
+    ref = np.asarray(fa.reference_mha(q, k, v))
+    np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
+    assert out.shape == (b, n, h, d)
