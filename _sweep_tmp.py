@@ -1,25 +1,27 @@
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/edgecape_jax_cache")
-from edgecape_tpu.api import PoseEstimator
-from edgecape_tpu.config import Config, ModelConfig
-mcfg = ModelConfig(learn_skeleton=True, attn_bias=True, use_bias_attn_module=True, compute_dtype="bfloat16")
-est = PoseEstimator(Config(model=mcfg), rng=jax.random.PRNGKey(0))
-g, s, k, hs, size = 17, 1, 100, 64, 224
-nq = g*15
-rng = np.random.default_rng(0)
-support = {"img_s": jnp.asarray(rng.normal(size=(g,s,size,size,3)), jnp.float32),
-  "target_s": jnp.asarray(rng.uniform(size=(g,s,k,hs,hs)), jnp.float32),
-  "weight_s": jnp.ones((g,s,k)), "binary_adj": jnp.asarray(np.tile(np.eye(k,k=1,dtype=np.float32)+np.eye(k,k=-1,dtype=np.float32),(g,1,1)))}
-img_q = jnp.asarray(rng.normal(size=(nq,size,size,3)), jnp.float32)
-group = jnp.asarray(np.repeat(np.arange(g, dtype=np.int32), 15))
-sup_fn, q_fn = est._build_cached_fns()
-ctx = sup_fn(est.backbone_params, est.head_params, support["img_s"], support["target_s"], support["weight_s"], support["binary_adj"])
-jax.tree.map(np.asarray, ctx)
-def timeit(f, n=3):
-    ts=[]
+def timeit(f, *a, n=5):
+    np.asarray(f(*a)); ts=[]
     for i in range(n):
-        t0=time.perf_counter(); f(i); ts.append(time.perf_counter()-t0)
-    return 1e3*min(ts)
-print('support_fn: %.1f ms' % timeit(lambda i: np.asarray(sup_fn(est.backbone_params, est.head_params, support["img_s"]+i*1e-3, support["target_s"], support["weight_s"], support["binary_adj"]).kp_tokens0)))
-o = q_fn(est.backbone_params, est.head_params, ctx, group, img_q); np.asarray(o[0])
-print('query_fn(255): %.1f ms' % timeit(lambda i: np.asarray(q_fn(est.backbone_params, est.head_params, ctx, group, img_q+i*1e-3)[0])))
+        t0=time.perf_counter(); np.asarray(f(*a)); ts.append(time.perf_counter()-t0)
+    return min(ts)
+rng = np.random.default_rng(0)
+for (m,k,n) in [(131072,384,1536),(8192,8192,8192),(131072,384,384)]:
+    a = jnp.asarray(rng.normal(size=(m,k)), jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=(k,n)), jnp.bfloat16)
+    f = jax.jit(lambda a,b: (a@b).sum())
+    dt = timeit(f,a,b)
+    print("matmul %dx%dx%d: %.2f ms -> %.1f TFLOP/s" % (m,k,n, dt*1e3, 2*m*k*n/dt/1e12))
+# chained to remove dispatch overhead
+a = jnp.asarray(rng.normal(size=(131072,384)), jnp.bfloat16)
+w1 = jnp.asarray(rng.normal(size=(384,1536)), jnp.bfloat16)*0.01
+w2 = jnp.asarray(rng.normal(size=(1536,384)), jnp.bfloat16)*0.01
+def chain(a,w1,w2):
+    x = a
+    for _ in range(12):
+        x = (x@w1)@w2
+    return x.sum()
+f = jax.jit(chain)
+dt = timeit(f,a,w1,w2)
+fl = 12*2*131072*384*1536*2
+print("chained mlp x12: %.2f ms -> %.1f TFLOP/s" % (dt*1e3, fl/dt/1e12))

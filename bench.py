@@ -27,7 +27,7 @@ BASELINE_IMG_PER_SEC = 300000 / 1800.0  # reference: 30 min on 1 GPU
 QUERIES_PER_EPISODE = 15                # test protocol
 
 
-def main(groups: int = 17, iters: int = 10, warmup: int = 2):
+def main(groups: int = 34, iters: int = 10, warmup: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -96,7 +96,7 @@ def main(groups: int = 17, iters: int = 10, warmup: int = 2):
 
 
 if __name__ == "__main__":
-    groups = 17
+    groups = 34
     for a in sys.argv[1:]:
         if a.startswith("--groups="):
             groups = int(a.split("=")[1])
