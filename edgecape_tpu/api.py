@@ -166,8 +166,9 @@ class PoseEstimator:
         coords = np.asarray(pred_norm) * size
         centers = batch.meta["query_center"]
         scales = batch.meta["query_scale"]
-        preds_img = affine.transform_preds_batch(coords, centers, scales,
-                                                 (size, size))
+        preds_img = affine.transform_preds_batch(
+            coords, centers, scales, (size, size),
+            use_udp=self.cfg.test_data.use_udp)
         b, k = coords.shape[:2]
         all_preds = np.zeros((b, k, 3), np.float32)
         all_preds[:, :, :2] = preds_img

@@ -65,6 +65,7 @@ class DataConfig:
     heatmap_size: int = 64
     max_kpt: int = 100
     sigma: float = 1.0
+    use_udp: bool = False
     # train-time augmentation (reference TopDownGetRandomScaleRotation)
     rot_factor: float = 15.0
     scale_factor: float = 0.15

@@ -78,16 +78,29 @@ def preprocess(record: dict, cfg: DataConfig, *, augment: bool = False,
         scale, rot = random_scale_rotation(scale, cfg, rng)
 
     size = (cfg.image_size, cfg.image_size)
-    mat = affine.get_affine_transform(center, scale, rot, size)
-    warped = cv2.warpAffine(img, mat, size, flags=cv2.INTER_LINEAR)
-    joints_t = joints.copy()
-    vis_mask = visible > 0
-    joints_t[vis_mask] = affine.affine_transform_points(joints[vis_mask],
-                                                        mat)
-
-    target, weight = heatmap.render_msra(
-        joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size), size,
-        cfg.sigma)
+    if cfg.use_udp:
+        # unbiased data processing (reference use_udp branch,
+        # top_down_transform.py:45-52): half-pixel-aligned warp, all
+        # joints transformed, UDP heatmap encoding
+        mat = affine.get_warp_matrix_udp(
+            rot, center, (cfg.image_size - 1.0, cfg.image_size - 1.0),
+            scale * 200.0)
+        warped = cv2.warpAffine(img, mat, size, flags=cv2.INTER_LINEAR)
+        joints_t = affine.affine_transform_points(joints, mat).astype(
+            np.float32)
+        target, weight = heatmap.render_udp(
+            joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size), size,
+            cfg.sigma)
+    else:
+        mat = affine.get_affine_transform(center, scale, rot, size)
+        warped = cv2.warpAffine(img, mat, size, flags=cv2.INTER_LINEAR)
+        joints_t = joints.copy()
+        vis_mask = visible > 0
+        joints_t[vis_mask] = affine.affine_transform_points(
+            joints[vis_mask], mat)
+        target, weight = heatmap.render_msra(
+            joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size), size,
+            cfg.sigma)
 
     imgf = (warped.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     return Sample(img=imgf, target=target, target_weight=weight[:, 0],

@@ -93,6 +93,40 @@ def affine_transform_points(pts: np.ndarray, mat: np.ndarray) -> np.ndarray:
     return pts @ mat[:, :2].T + mat[:, 2]
 
 
+def get_warp_matrix_udp(rot: float, center, output_size,
+                        scale_px) -> np.ndarray:
+    """UDP ('unbiased data processing') warp matrix.
+
+    Maps the (center, scale, rot) box onto [0, output_size-1] with unit
+    half-pixel alignment — the get_warp_matrix semantics used by the
+    reference's use_udp path (top_down_transform.py:45-52 calls it as
+    get_warp_matrix(r, c*2, image_size-1, s*200)). Derivation: rotate about
+    the box center, scale by (dst)/(box), translate so the box center lands
+    on the dst center.
+
+    Args:
+      rot: degrees. center: (x, y) box center. output_size: (w-1, h-1) of
+      the destination. scale_px: box size in pixels (w, h).
+    """
+    theta = np.deg2rad(rot)
+    size_input = np.asarray(center, np.float64) * 2.0
+    size_dst = np.asarray(output_size, np.float64)
+    size_target = np.asarray(scale_px, np.float64)
+    m = np.zeros((2, 3), np.float64)
+    scale_x = size_dst[0] / size_target[0]
+    scale_y = size_dst[1] / size_target[1]
+    c, s = np.cos(theta), np.sin(theta)
+    m[0, 0] = c * scale_x
+    m[0, 1] = -s * scale_x
+    m[0, 2] = scale_x * (-0.5 * size_input[0] * c
+                         + 0.5 * size_input[1] * s + 0.5 * size_target[0])
+    m[1, 0] = s * scale_y
+    m[1, 1] = c * scale_y
+    m[1, 2] = scale_y * (-0.5 * size_input[0] * s
+                         - 0.5 * size_input[1] * c + 0.5 * size_target[1])
+    return m
+
+
 def transform_preds(coords: np.ndarray, center, scale, output_size,
                     use_udp: bool = False) -> np.ndarray:
     """Map model-space coords [K, 2] back to original image coords.

@@ -75,3 +75,30 @@ def test_transform_preds_batch_matches_single():
         single = affine.transform_preds(coords[i], centers[i], scales[i],
                                         (224, 224))
         np.testing.assert_allclose(batch[i], single, atol=1e-6)
+
+
+def test_udp_warp_matrix_properties():
+    # box center maps to destination center; box corners map to dst corners
+    center = np.array([150.0, 90.0])
+    scale_px = np.array([120.0, 80.0])
+    out = np.array([223.0, 223.0])  # image_size - 1
+    m = affine.get_warp_matrix_udp(0.0, center, out, scale_px)
+    c_dst = affine.affine_transform_points(center, m)
+    np.testing.assert_allclose(c_dst, out / 2 + 0, atol=1e-6)
+    left = affine.affine_transform_points(center - scale_px / 2, m)
+    np.testing.assert_allclose(left, [0.0, 0.0], atol=1e-6)
+    right = affine.affine_transform_points(center + scale_px / 2, m)
+    np.testing.assert_allclose(right, out, atol=1e-6)
+
+
+def test_udp_transform_preds_inverts_warp():
+    center = np.array([150.0, 90.0])
+    scale = np.array([0.6, 0.4])
+    size = 224
+    m = affine.get_warp_matrix_udp(0.0, center, (size - 1.0, size - 1.0),
+                                   scale * 200.0)
+    pts = np.random.default_rng(0).uniform(50, 250, size=(6, 2))
+    warped = affine.affine_transform_points(pts, m)
+    back = affine.transform_preds(warped, center, scale, (size, size),
+                                  use_udp=True)
+    np.testing.assert_allclose(back, pts, atol=1e-4)
