@@ -1,0 +1,124 @@
+"""Multi-device (8 virtual CPU) sharding tests: the data-parallel eval and
+train paths must compile and run over a mesh with outputs matching the
+single-device path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from edgecape_tpu.config import Config, ModelConfig, TrainConfig
+from edgecape_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        pad_to_multiple, replicated)
+
+K, G = 12, 4
+
+
+def _cfg():
+    return Config(model=ModelConfig(image_size=56, heatmap_size=16,
+                                    max_kpt=K),
+                  train=TrainConfig(batch_size=8, warmup_iters=2))
+
+
+def _batch(b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "img_s": rng.normal(size=(b, 1, 56, 56, 3)).astype(np.float32),
+        "img_q": rng.normal(size=(b, 56, 56, 3)).astype(np.float32),
+        "target_s": rng.uniform(size=(b, 1, K, 16, 16)).astype(np.float32),
+        "weight_s": np.ones((b, 1, K), np.float32),
+        "target_q": rng.uniform(size=(b, K, 16, 16)).astype(np.float32),
+        "weight_q": np.ones((b, K), np.float32),
+        "joints_q": rng.uniform(0, 56, size=(b, K, 2)).astype(np.float32),
+        "binary_adj": np.tile(np.eye(K, k=1, dtype=np.float32)
+                              + np.eye(K, k=-1, dtype=np.float32),
+                              (b, 1, 1)),
+        "rand_mask": np.ones((b, K), np.float32),
+    }
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_eval_matches_single_device():
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.data.mp100 import EpisodeBatch
+
+    cfg = _cfg()
+    b = _batch()
+    batch = EpisodeBatch(
+        img_s=b["img_s"], target_s=b["target_s"], weight_s=b["weight_s"],
+        img_q=b["img_q"], target_q=b["target_q"], weight_q=b["weight_q"],
+        joints_q=b["joints_q"], binary_adj=b["binary_adj"],
+        rand_mask=b["rand_mask"],
+        meta={"query_center": np.zeros((8, 2)),
+              "query_scale": np.ones((8, 2)),
+              "query_image_file": ["x"] * 8, "bbox_id": list(range(8))})
+    est_single = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    pred1, _, _ = est_single.forward_batch(batch)
+    est_mesh = PoseEstimator(cfg, backbone_params=est_single.backbone_params,
+                             head_params=est_single.head_params,
+                             mesh=make_mesh())
+    pred8, _, _ = est_mesh.forward_batch(batch)
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred8),
+                               atol=2e-5)
+
+
+def test_sharded_train_step_matches_single_device():
+    from edgecape_tpu.models import dinov2
+    from edgecape_tpu.models.edgecape import EdgeCape
+    from edgecape_tpu.train.loop import TrainState, make_train_step
+    from edgecape_tpu.train.state import make_optimizer
+
+    cfg = _cfg()
+    model = EdgeCape(cfg.model)
+    bb_cfg = dinov2.DinoV2Config(depth=2)
+    bb = jax.jit(lambda r: dinov2.init_params(r, image_size=56,
+                                              cfg=bb_cfg))(
+        jax.random.PRNGKey(0))
+    init = jax.jit(lambda r: model.init(
+        {"params": r, "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 4, 4, 384)), jnp.zeros((1, 1, 4, 4, 384)),
+        jnp.zeros((1, 1, K, 16, 16)), jnp.zeros((1, K)),
+        jnp.zeros((1, K, K))))
+    params = init(jax.random.PRNGKey(1))["params"]
+    tx, _ = make_optimizer(cfg.train, 10, params, None)
+    step_fn = make_train_step(model, tx, cfg, bb_cfg)
+    batch = _batch()
+    rngk = jax.random.PRNGKey(0)
+
+    state1 = TrainState(params=params, opt_state=tx.init(params),
+                        step=jnp.zeros((), jnp.int32))
+    s1, m1 = jax.jit(step_fn)(state1, bb, batch, rngk)
+
+    mesh = make_mesh()
+    rep, shb = replicated(mesh), batch_sharding(mesh)
+    state_sh = TrainState(params=jax.tree.map(lambda _: rep, params),
+                          opt_state=jax.tree.map(lambda _: rep,
+                                                 tx.init(params)),
+                          step=rep)
+    sharded_step = jax.jit(
+        step_fn, in_shardings=(state_sh, rep,
+                               {k: shb for k in batch}, rep))
+    state8 = TrainState(params=params, opt_state=tx.init(params),
+                        step=jnp.zeros((), jnp.int32))
+    s8, m8 = sharded_step(jax.device_put(state8, state_sh),
+                          jax.device_put(bb, rep),
+                          jax.device_put(batch, shb), rngk)
+    assert np.allclose(float(m1["loss"]), float(m8["loss"]), atol=1e-4)
+    l1 = jax.tree.leaves(s1.params)
+    l8 = jax.tree.leaves(s8.params)
+    for a, b_ in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5)
+
+
+def test_pad_to_multiple():
+    arr = np.arange(10).reshape(5, 2)
+    padded, n = pad_to_multiple(arr, 4)
+    assert padded.shape == (8, 2)
+    assert n == 5
+    np.testing.assert_array_equal(padded[4:], [[8, 9]] * 4)
