@@ -47,7 +47,7 @@ def run_inference(support_img: np.ndarray, query_img: np.ndarray,
     from edgecape_tpu.ops.warp import IMAGENET_MEAN, IMAGENET_STD
     from edgecape_tpu.train import checkpoint as ck
     from edgecape_tpu.utils.visualization import plot_results
-    from train import load_backbone
+    from edgecape_tpu.models.convert import load_backbone
 
     kpts = np.asarray(annotation["keypoints"], np.float32)
     skeleton = [[int(i), int(j)] for i, j in annotation.get("skeleton", [])]

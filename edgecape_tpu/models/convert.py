@@ -200,3 +200,21 @@ def convert_full(sd_raw: dict, cfg: ModelConfig,
                 bb, image_size=image_size or cfg.image_size)
             break
     return head, backbone
+
+
+def load_backbone(path: Optional[str], image_size: int):
+    """Load DINOv2 backbone params from an orbax dir or a torch-hub .pth
+    (converted on the fly). None -> None (caller falls back to random
+    init with a warning)."""
+    if path is None:
+        return None
+    if path.endswith((".pth", ".pt", ".bin")):
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        if "model" in sd and isinstance(sd["model"], dict):
+            sd = sd["model"]
+        return dinov2.convert_torch_state_dict(sd, image_size=image_size)
+    from ..train import checkpoint as ck
+    return ck.load_checkpoint(path)

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import graph
-from .transformer import DecoderLayer, dense
+from .transformer import DecoderLayer, dense, ensure_some_valid
 
 
 class SkeletonPredictor(nn.Module):
@@ -79,7 +79,6 @@ class SkeletonPredictor(nn.Module):
         adj_rep = jnp.repeat(refine_adj[:, None], s, axis=1).reshape(
             b * s, 2, k, k)
         valid_rep = jnp.repeat(kp_valid[:, None], s, axis=1).reshape(b * s, k)
-        from .transformer import ensure_some_valid
         valid_rep = ensure_some_valid(valid_rep)
         zero_pos = jnp.zeros_like(x)
         img_pos_rep = jnp.repeat(img_pos[:, None], s, axis=1).reshape(

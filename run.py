@@ -35,7 +35,7 @@ def main():
     from edgecape_tpu.config import Config
     from edgecape_tpu.parallel.mesh import make_mesh
     from edgecape_tpu.train.curriculum import run_curriculum
-    from train import load_backbone
+    from edgecape_tpu.models.convert import load_backbone
 
     cfg = Config.from_file(args.config).override(args.cfg_options)
     backbone = load_backbone(args.backbone_ckpt, cfg.model.image_size)

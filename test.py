@@ -58,7 +58,7 @@ def main():
         tree = ck.load_checkpoint(args.checkpoint)
         head_params = tree.get("params", tree)
 
-    from train import load_backbone
+    from edgecape_tpu.models.convert import load_backbone
     backbone = load_backbone(args.backbone_ckpt, cfg.model.image_size)
 
     mesh = make_mesh() if jax.device_count() > 1 else None

@@ -17,6 +17,9 @@ import random
 import numpy as np
 
 
+from edgecape_tpu.models.convert import load_backbone  # noqa: E402
+
+
 def parse_args():
     p = argparse.ArgumentParser(description="Train EdgeCape-TPU")
     p.add_argument("--config", required=True, help="config file (.py "
@@ -33,20 +36,6 @@ def parse_args():
     p.add_argument("--cfg-options", nargs="+", default=[],
                    help="dotted overrides, e.g. model.learn_skeleton=true")
     return p.parse_args()
-
-
-def load_backbone(path, image_size):
-    from edgecape_tpu.models import dinov2
-    from edgecape_tpu.train import checkpoint as ck
-    if path is None:
-        return None
-    if path.endswith(".pth") or path.endswith(".pt"):
-        import torch
-        sd = torch.load(path, map_location="cpu")
-        if "state_dict" in sd:
-            sd = sd["state_dict"]
-        return dinov2.convert_torch_state_dict(sd, image_size=image_size)
-    return ck.load_checkpoint(path)
 
 
 def main():
