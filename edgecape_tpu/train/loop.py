@@ -231,19 +231,23 @@ class Trainer:
 
     # --------------------------------------------------------------- fit
     def fit(self) -> TrainState:
+        from ..data.loader import Prefetcher
+
         cfg = self.cfg
         masking = (cfg.model.masking_ratio
                    if cfg.model.masked_supervision else 0.0)
-        data_rng = np.random.default_rng(cfg.train.seed)
         log_path = os.path.join(cfg.work_dir, "train_log.jsonl")
         os.makedirs(cfg.work_dir, exist_ok=True)
+        loader = Prefetcher(self.train_ds, cfg.train.batch_size,
+                            shuffle=True, masking_ratio=masking,
+                            drop_last=True,
+                            num_workers=cfg.train.num_workers,
+                            seed=cfg.train.seed)
 
         for epoch in range(self.start_epoch, cfg.train.total_epochs):
             t0 = time.time()
             agg, n_it = {}, 0
-            for batch in self.train_ds.batches(
-                    cfg.train.batch_size, shuffle=True, rng=data_rng,
-                    masking_ratio=masking, drop_last=True):
+            for batch in loader.epoch():
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(
                     self.state, self.backbone_params,
