@@ -32,6 +32,11 @@ class PoseEstimator:
                  head_params: Optional[Any] = None,
                  rng: Optional[jax.Array] = None,
                  mesh: Optional[jax.sharding.Mesh] = None):
+        import dataclasses as _dc
+        if jax.default_backend() == "tpu" and not cfg.model.use_flash:
+            # the fused-attention flag changes no parameters, only compute
+            cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
+                                                     use_flash=True))
         self.cfg = cfg
         self.model = EdgeCape(cfg.model)
         self.backbone_cfg = dinov2.VIT_S14

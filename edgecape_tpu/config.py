@@ -52,6 +52,7 @@ class ModelConfig:
     skeleton_loss_weight: float = 1.0
     # numerics
     compute_dtype: str = "float32"  # 'bfloat16' for the fast path
+    use_flash: bool = False         # Pallas fused attention in the head
 
 
 @dataclass

@@ -95,7 +95,7 @@ class EdgeCape(nn.Module):
             image_feat_dim=c.backbone_dim, name="skeleton")
         self.encoder_layers = [
             EncoderLayer(c.d_model, c.nhead, c.dim_feedforward, c.dropout,
-                         name=f"enc{i}")
+                         use_flash=c.use_flash, name=f"enc{i}")
             for i in range(c.num_encoder_layers)]
         self.proposal_gen = ProposalGenerator(
             c.d_model, c.similarity_proj_dim, c.dynamic_proj_dim,

@@ -59,6 +59,7 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    use_flash: bool = False  # Pallas fused path (eval self-attn, TPU)
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, *, key_valid=None, bias=None,
@@ -71,11 +72,19 @@ class MultiHeadAttention(nn.Module):
         q = dense(self.embed_dim, "q_proj")(q_in)
         k = dense(self.embed_dim, "k_proj")(k_in)
         v = dense(self.embed_dim, "v_proj")(v_in)
-        q = q.reshape(b, nq, h, hd) * (hd ** -0.5)
+        q = q.reshape(b, nq, h, hd)
         k = k.reshape(b, nk, h, hd)
         v = v.reshape(b, nk, h, hd)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+        # fused kernel: self-attention shapes, no additive head bias, no
+        # attention-prob dropout (eval)
+        if self.use_flash and nq == nk and bias is None and not train:
+            from ..ops.flash_attention import flash_mha
+            out = flash_mha(q, k, v, key_valid).reshape(
+                b, nq, self.embed_dim)
+            return dense(self.embed_dim, "out_proj")(out)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k,
                             preferred_element_type=jnp.float32)
         if bias is not None:
             logits = logits + bias.astype(logits.dtype)
@@ -112,11 +121,13 @@ class EncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.1
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, tokens, pos, key_valid, train: bool = False):
         src = tokens + pos
         att = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                 use_flash=self.use_flash,
                                  name="self_attn")(
             src, src, src, key_valid=key_valid, train=train)
         x = src + nn.Dropout(self.dropout, deterministic=not train)(att)

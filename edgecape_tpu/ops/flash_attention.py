@@ -27,9 +27,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_real: int):
-    # blocks: q/o [G, TILE_Q, D], k/v [G, N_pad, D]; loop over the G
-    # (batch*head) rows to amortize grid/DMA overhead
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_real: int,
+                 kb_ref=None):
+    # blocks: q/o [G, TILE_Q, D], k/v [G, N_pad, D], optional key bias
+    # kb [G, 1, N_pad] (0 or -inf per key; carries padding-validity masks);
+    # loop over the G (batch*head) rows to amortize grid/DMA overhead
     n_pad = k_ref.shape[1]
     for g in range(q_ref.shape[0]):
         q = q_ref[g].astype(jnp.bfloat16)
@@ -38,6 +40,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_real: int):
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [TILE_Q, N_pad]
+        if kb_ref is not None:
+            s = s + kb_ref[g]
         if n_real < n_pad:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < n_real, s, -jnp.inf)
@@ -50,13 +54,24 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_real: int):
         o_ref[g] = o.astype(o_ref.dtype)
 
 
+def _kernel_with_bias(q_ref, k_ref, v_ref, kb_ref, o_ref, *, scale, n_real):
+    _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale, n_real=n_real,
+                 kb_ref=kb_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def flash_mha(q, k, v, *, interpret: bool = False):
-    """Fused softmax(q k^T / sqrt(D)) v.
+def flash_mha(q, k, v, key_valid=None, *, interpret: bool = False):
+    """Fused softmax(q k^T / sqrt(D) + key_bias) v.
 
     q/k/v: [B, N, H, D] (the backbone's natural layout) -> [B, N, H, D].
+    key_valid: optional [B, N] bool — invalid keys are excluded from the
+    softmax (the torch key_padding_mask semantics).
     """
     b, n, h, d = q.shape
+    out_dtype = q.dtype
+    # the kernel computes in bf16 regardless; cast before the call so VMEM
+    # blocks are half-size even for fp32 callers
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, n, d)
@@ -83,23 +98,40 @@ def flash_mha(q, k, v, *, interpret: bool = False):
             if bh % g == 0 and need < 12 * 1024 * 1024:
                 group = g
                 break
+
+    in_specs = [
+        pl.BlockSpec((group, tile_q, d), lambda bi, i: (bi, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qt, kt, vt]
+    if key_valid is not None:
+        kb = jnp.where(key_valid, 0.0, -jnp.inf).astype(jnp.float32)
+        kb = jnp.pad(kb, [(0, 0), (0, n_pad - n)],
+                     constant_values=-jnp.inf)
+        kb = jnp.repeat(kb[:, None, None, :], h, axis=1).reshape(
+            bh, 1, n_pad)
+        in_specs.append(pl.BlockSpec((group, 1, n_pad),
+                                     lambda bi, i: (bi, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(kb)
+        kernel = functools.partial(_kernel_with_bias, scale=scale, n_real=n)
+    else:
+        kernel = functools.partial(_attn_kernel, scale=scale, n_real=n)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_real=n),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), jnp.bfloat16),
         grid=(bh // group, n_pad // tile_q),
-        in_specs=[
-            pl.BlockSpec((group, tile_q, d), lambda bi, i: (bi, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((group, tile_q, d), lambda bi, i: (bi, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(qt, kt, vt)
-    return out[:, :n, :].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    )(*args)
+    out = out[:, :n, :].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    return out.astype(out_dtype)
 
 
 def reference_mha(q, k, v):

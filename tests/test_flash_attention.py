@@ -36,3 +36,21 @@ def test_flash_padded_keys_excluded():
     ref = np.asarray(fa.reference_mha(q, k, v))
     np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
     assert out.shape == (b, n, h, d)
+
+
+def test_flash_key_valid_matches_masked_reference():
+    rng = np.random.default_rng(2)
+    b, n, h, d = 2, 100, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+    valid = np.ones((b, n), bool)
+    valid[0, 60:] = False
+    valid_j = jnp.asarray(valid)
+    out = np.asarray(fa.flash_mha(q, k, v, valid_j, interpret=True))
+    # reference with -inf masking
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
+    s = jnp.where(valid_j[:, None, None, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = np.asarray(jnp.einsum("bhqk,bkhd->bqhd", p, v))
+    np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
