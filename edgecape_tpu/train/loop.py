@@ -210,12 +210,23 @@ class Trainer:
 
     # -------------------------------------------------------------- save
     def _save(self, name: str, epoch: int):
+        import dataclasses
+
+        from .. import __version__
+
         os.makedirs(self.cfg.work_dir, exist_ok=True)
         tree = {"params": self.state.params,
                 "opt_state": self.state.opt_state,
                 "step": np.asarray(self.state.step),
                 "epoch": epoch, "best_pck": self.best_pck}
         ckpt_lib.save_checkpoint(os.path.join(self.cfg.work_dir, name), tree)
+        # meta stamping (reference train.py:182-188 embeds version+config):
+        # strings go in a sidecar json, not the array tree
+        with open(os.path.join(self.cfg.work_dir, name + ".meta.json"),
+                  "w") as f:
+            json.dump({"version": __version__, "epoch": epoch,
+                       "config": dataclasses.asdict(self.cfg)}, f,
+                      default=str)
         ckpt_lib.write_latest(self.cfg.work_dir, name)
 
     # -------------------------------------------------------------- eval
