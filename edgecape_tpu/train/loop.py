@@ -50,8 +50,11 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
         imgs = jnp.concatenate(
             [batch["img_s"].reshape((b * s,) + batch["img_s"].shape[2:]),
              batch["img_q"]], axis=0)
-        feats = dinov2.extract_features(bb_params, imgs, backbone_cfg,
-                                        dtype=bb_dtype)
+        # flash (internally bf16) only when the user opted into bf16
+        # features; the fp32 default stays bit-exact XLA
+        feats = dinov2.extract_features(
+            bb_params, imgs, backbone_cfg, dtype=bb_dtype,
+            use_flash="auto" if bb_dtype == jnp.bfloat16 else False)
         gh, gw = feats.shape[1:3]
         feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
         feat_q = feats[b * s:]

@@ -157,3 +157,25 @@ def test_cached_eval_matches_uncached(synth_root):
     for key in ["PCK", "mPCK", "EPE"]:
         assert abs(r1[key] - r2[key]) < 1e-6 or \
             abs(r1[key] - r2[key]) / max(abs(r1[key]), 1e-9) < 0.02
+
+
+def test_cached_eval_five_shot(synth_root):
+    """5-shot episodic eval through the cached path: shapes, grouping, and
+    protocol invariants."""
+    import jax
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.eval import runner
+
+    root, ann = synth_root
+    dcfg = _data_cfg(root, ann, num_shots=5, num_queries=2, num_episodes=1)
+    model_cfg = ModelConfig(image_size=56, heatmap_size=16, max_kpt=16,
+                            learn_skeleton=True)
+    cfg = Config(model=model_cfg, test_data=dcfg)
+    ds = MP100Dataset(dcfg, mode="test")
+    groups = ds.support_groups()
+    assert all(len(sup) == 5 for sup, _ in groups)
+    est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    res = runner.run_eval(ds, est, batch_size=4,
+                          res_folder="/tmp/ec_eval_5shot", progress=False,
+                          cache_supports=True)
+    assert np.isfinite(res["PCK"]) and 0 <= res["PCK"] <= 1
