@@ -52,8 +52,9 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2):
     rng = np.random.default_rng(0)
     support = {
         "img_s": rng.normal(size=(g, s, size, size, 3)).astype(np.float32),
-        "target_s": rng.uniform(size=(g, s, k, hs, hs)).astype(np.float32),
-        "weight_s": np.ones((g, s, k), np.float32),
+        "joints_s": rng.uniform(10, size - 10,
+                                size=(g, s, k, 2)).astype(np.float32),
+        "vis_s": np.ones((g, s, k), np.float32),
         "binary_adj": np.tile(np.eye(k, k=1, dtype=np.float32)
                               + np.eye(k, k=-1, dtype=np.float32),
                               (g, 1, 1)),

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import Config, ModelConfig
+from .config import Config
 from .data.mp100 import EpisodeBatch
 from .models import dinov2
 from .models.edgecape import EdgeCape, ModelOutput
@@ -104,16 +104,24 @@ class PoseEstimator:
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
+        hs = self.cfg.model.heatmap_size
+        size = float(self.cfg.model.image_size)
+        sigma = self.cfg.test_data.sigma
 
-        def support_fn(bb_params, head_params, img_s, target_s, weight_s,
+        def support_fn(bb_params, head_params, img_s, joints_s, vis_s,
                        binary_adj):
+            from .ops.heatmap import render_msra_jnp
             g, s = img_s.shape[:2]
             feats = dinov2.extract_features(
                 bb_params, img_s.reshape((g * s,) + img_s.shape[2:]),
                 bb_cfg, dtype=dtype)
             gh, gw = feats.shape[1:3]
             feat_s = feats.reshape(g, s, gh, gw, -1)
-            mask_s = jnp.prod(weight_s, axis=1)
+            # support heatmaps rendered on device from joints (saves the
+            # [G, S, K, 64, 64] host->device transfer)
+            target_s, weight_s = render_msra_jnp(joints_s, vis_s, (hs, hs),
+                                                 (size, size), sigma)
+            mask_s = jnp.prod(weight_s[..., 0], axis=1)
             ctx = model.apply({"params": head_params}, feat_s, target_s,
                               mask_s, binary_adj,
                               method=type(model).encode_support)
@@ -143,8 +151,8 @@ class PoseEstimator:
         sup_fn, q_fn = self._cached_fns
         ctx = sup_fn(self.backbone_params, self.head_params,
                      jnp.asarray(support["img_s"]),
-                     jnp.asarray(support["target_s"]),
-                     jnp.asarray(support["weight_s"]),
+                     jnp.asarray(support["joints_s"]),
+                     jnp.asarray(support["vis_s"]),
                      jnp.asarray(support["binary_adj"]))
         pred, raw_adj = q_fn(self.backbone_params, self.head_params, ctx,
                              jnp.asarray(query["group"]),

@@ -26,7 +26,7 @@ import numpy as np
 from ..config import DataConfig
 from ..ops import affine, graph
 from .coco import CocoIndex
-from .pipeline import Sample, preprocess
+from .pipeline import preprocess
 
 
 def build_db(coco: CocoIndex, img_prefix: str, image_size,
@@ -103,6 +103,8 @@ class EpisodeBatch:
     joints_q: np.ndarray     # [B, K, 2] model-input pixel coords
     binary_adj: np.ndarray   # [B, K, K]
     rand_mask: np.ndarray    # [B, K] 1 keep / 0 masked (train stage 2)
+    joints_s: np.ndarray = None   # [B, S, K, 2] support joints (device
+    vis_s: np.ndarray = None      # [B, S, K]    rendering path)
     meta: dict = field(default_factory=dict)
 
 
@@ -223,6 +225,8 @@ class MP100Dataset:
         sup_img = np.zeros((g, s, size, size, 3), np.float32)
         sup_tgt = np.zeros((g, s, k, hs, hs), np.float32)
         sup_w = np.zeros((g, s, k), np.float32)
+        sup_joints = np.zeros((g, s, k, 2), np.float32)
+        sup_vis = np.zeros((g, s, k), np.float32)
         adj = np.zeros((g, k, k), np.float32)
 
         q_rows = [r for _, rows in groups for r in rows]
@@ -241,6 +245,8 @@ class MP100Dataset:
                 sup_img[gi, si] = sample.img
                 sup_tgt[gi, si] = sample.target
                 sup_w[gi, si] = sample.target_weight
+                sup_joints[gi, si] = sample.joints
+                sup_vis[gi, si] = sample.joints_visible
             adj[gi] = graph.adjacency_from_edges(
                 self.db[sup_ids[0]]["skeleton"], k)
 
@@ -261,7 +267,8 @@ class MP100Dataset:
                 row_i += 1
 
         support = {"img_s": sup_img, "target_s": sup_tgt,
-                   "weight_s": sup_w, "binary_adj": adj}
+                   "weight_s": sup_w, "binary_adj": adj,
+                   "joints_s": sup_joints, "vis_s": sup_vis}
         query = {"img_q": q_img, "weight_q": q_w, "joints_q": joints_q,
                  "group": group_of_row}
         meta = {"query_center": centers, "query_scale": scales,
@@ -329,6 +336,7 @@ class MP100Dataset:
                                   cfg.heatmap_size)
         weights = weights.reshape(b, s + 1, k)
         joints_arr = np.stack(all_joints).reshape(b, s + 1, k, 2)
+        vis_arr = np.stack(all_vis).reshape(b, s + 1, k)
 
         adj = np.zeros((b, k, k), np.float32)
         rand_mask = np.ones((b, k), np.float32)
@@ -355,7 +363,8 @@ class MP100Dataset:
             weight_s=weights[:, :s], img_q=warped[:, s],
             target_q=targets[:, s], weight_q=weights[:, s],
             joints_q=joints_arr[:, s], binary_adj=adj,
-            rand_mask=rand_mask, meta=meta)
+            rand_mask=rand_mask, joints_s=joints_arr[:, :s],
+            vis_s=vis_arr[:, :s], meta=meta)
 
     # ----------------------------------------------------------- batching
     def collate(self, indices, *, augment: Optional[bool] = None,
@@ -372,6 +381,8 @@ class MP100Dataset:
         target_q = np.zeros((b, k, hs, hs), np.float32)
         weight_q = np.zeros((b, k), np.float32)
         joints_q = np.zeros((b, k, 2), np.float32)
+        joints_s = np.zeros((b, s, k, 2), np.float32)
+        vis_s = np.zeros((b, s, k), np.float32)
         adj = np.zeros((b, k, k), np.float32)
         rand_mask = np.ones((b, k), np.float32)
         centers = np.zeros((b, 2), np.float32)
@@ -385,6 +396,8 @@ class MP100Dataset:
                 img_s[bi, si] = sup.img
                 target_s[bi, si] = sup.target
                 weight_s[bi, si] = sup.target_weight
+                joints_s[bi, si] = sup.joints
+                vis_s[bi, si] = sup.joints_visible
             img_q[bi] = query.img
             target_q[bi] = query.target
             weight_q[bi] = query.target_weight
@@ -408,7 +421,8 @@ class MP100Dataset:
                             weight_s=weight_s, img_q=img_q,
                             target_q=target_q, weight_q=weight_q,
                             joints_q=joints_q, binary_adj=adj,
-                            rand_mask=rand_mask, meta=meta)
+                            rand_mask=rand_mask, joints_s=joints_s,
+                            vis_s=vis_s, meta=meta)
 
     def batches(self, batch_size: int, *, shuffle: bool = False,
                 rng: Optional[np.random.Generator] = None,

@@ -14,7 +14,7 @@ reference performs at load time, bias_attn.py:236-265).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,6 @@ importable, else jax bicubic resize.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any
 
 import flax.linen as nn

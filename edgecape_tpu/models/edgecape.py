@@ -31,7 +31,7 @@ requires_grad toggling (encoder_decoder.py:212-237) functionally.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax

@@ -14,8 +14,6 @@ are computed channels-last in fp32 (ops/graph.py).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -17,8 +17,6 @@ TPU-first redesign decisions:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 
 def initialize(coordinator_address: Optional[str] = None,

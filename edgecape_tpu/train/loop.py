@@ -27,6 +27,7 @@ from flax import struct
 from ..config import Config
 from ..data.mp100 import EpisodeBatch, MP100Dataset
 from ..models import dinov2
+from ..ops.heatmap import render_msra_jnp
 from ..models.edgecape import EdgeCape
 from ..models.head import keypoint_losses, pck_accuracy
 from . import checkpoint as ckpt_lib
@@ -43,6 +44,8 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
     mcfg = cfg.model
     size = float(mcfg.image_size)
     bb_dtype = jnp.dtype(mcfg.compute_dtype)
+    hs = mcfg.heatmap_size
+    sigma = cfg.train_data.sigma
 
     def loss_fn(params, bb_params, batch, rng):
         r_enc, r_dec, r_rec = jax.random.split(rng, 3)
@@ -58,10 +61,16 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
         gh, gw = feats.shape[1:3]
         feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
         feat_q = feats[b * s:]
-        mask_s = jnp.prod(batch["weight_s"], axis=1)          # [B, K]
+        # support heatmaps rendered ON DEVICE from joints (13KB vs 26MB of
+        # host-rendered maps per batch; bit-identical to the host renderer)
+        target_s, weight_s = render_msra_jnp(
+            batch["joints_s"], batch["vis_s"], (hs, hs), (size, size),
+            sigma)
+        weight_s = weight_s[..., 0]
+        mask_s = jnp.prod(weight_s, axis=1)                   # [B, K]
 
         enc = model.apply({"params": params}, feat_q, feat_s,
-                          batch["target_s"], mask_s, batch["binary_adj"],
+                          target_s, mask_s, batch["binary_adj"],
                           train=True, rngs={"dropout": r_enc},
                           method=EdgeCape.encode)
         outputs, _ = model.apply(
@@ -114,14 +123,12 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
     return train_step
 
 
+BATCH_KEYS = ("img_s", "img_q", "joints_s", "vis_s", "target_q",
+              "weight_q", "joints_q", "binary_adj", "rand_mask")
+
+
 def batch_to_device_arrays(batch: EpisodeBatch) -> dict:
-    return {
-        "img_s": batch.img_s, "img_q": batch.img_q,
-        "target_s": batch.target_s, "weight_s": batch.weight_s,
-        "target_q": batch.target_q, "weight_q": batch.weight_q,
-        "joints_q": batch.joints_q, "binary_adj": batch.binary_adj,
-        "rand_mask": batch.rand_mask,
-    }
+    return {k: getattr(batch, k) for k in BATCH_KEYS}
 
 
 class Trainer:
@@ -196,10 +203,7 @@ class Trainer:
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
             rep, shb = replicated(mesh), batch_sharding(mesh)
-            batch_shardings = {k: shb for k in
-                               ["img_s", "img_q", "target_s", "weight_s",
-                                "target_q", "weight_q", "joints_q",
-                                "binary_adj", "rand_mask"]}
+            batch_shardings = {k: shb for k in BATCH_KEYS}
             state_sh = TrainState(params=jax.tree.map(lambda _: rep,
                                                       self.state.params),
                                   opt_state=jax.tree.map(

@@ -11,7 +11,7 @@ flow, updates don't.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import optax

@@ -25,6 +25,9 @@ def _batch(b=8, seed=0):
     return {
         "img_s": rng.normal(size=(b, 1, 56, 56, 3)).astype(np.float32),
         "img_q": rng.normal(size=(b, 56, 56, 3)).astype(np.float32),
+        "joints_s": rng.uniform(5, 50,
+                                size=(b, 1, K, 2)).astype(np.float32),
+        "vis_s": np.ones((b, 1, K), np.float32),
         "target_s": rng.uniform(size=(b, 1, K, 16, 16)).astype(np.float32),
         "weight_s": np.ones((b, 1, K), np.float32),
         "target_q": rng.uniform(size=(b, K, 16, 16)).astype(np.float32),
@@ -86,8 +89,9 @@ def test_sharded_train_step_matches_single_device():
         jnp.zeros((1, K, K))))
     params = init(jax.random.PRNGKey(1))["params"]
     tx, _ = make_optimizer(cfg.train, 10, params, None)
+    from edgecape_tpu.train.loop import BATCH_KEYS
     step_fn = make_train_step(model, tx, cfg, bb_cfg)
-    batch = _batch()
+    batch = {k: v for k, v in _batch().items() if k in BATCH_KEYS}
     rngk = jax.random.PRNGKey(0)
 
     state1 = TrainState(params=params, opt_state=tx.init(params),
@@ -100,6 +104,8 @@ def test_sharded_train_step_matches_single_device():
                           opt_state=jax.tree.map(lambda _: rep,
                                                  tx.init(params)),
                           step=rep)
+    from edgecape_tpu.train.loop import BATCH_KEYS
+    batch = {k: batch[k] for k in BATCH_KEYS}
     sharded_step = jax.jit(
         step_fn, in_shardings=(state_sh, rep,
                                {k: shb for k in batch}, rep))
