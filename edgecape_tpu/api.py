@@ -140,24 +140,28 @@ class PoseEstimator:
                 enc.img_pos, method=type(model).decode)
             return outputs[-1], enc.raw_adj
 
-        return jax.jit(support_fn), jax.jit(query_fn)
+        def combined_fn(bb_params, head_params, img_s, joints_s, vis_s,
+                        binary_adj, group, img_q):
+            ctx = support_fn(bb_params, head_params, img_s, joints_s,
+                             vis_s, binary_adj)
+            return query_fn(bb_params, head_params, ctx, group, img_q)
+
+        return jax.jit(support_fn), jax.jit(query_fn), jax.jit(combined_fn)
 
     def forward_cached(self, support: dict, query: dict):
         """Split-phase forward: support context computed once per episode
-        group, queries gathered onto it. Returns (pred_norm [Nq, K, 2],
-        raw_adj [Nq, K, K])."""
+        group, queries gathered onto it — all in ONE device dispatch.
+        Returns (pred_norm [Nq, K, 2], raw_adj [Nq, K, K])."""
         if not hasattr(self, "_cached_fns") or self._cached_fns is None:
             self._cached_fns = self._build_cached_fns()
-        sup_fn, q_fn = self._cached_fns
-        ctx = sup_fn(self.backbone_params, self.head_params,
-                     jnp.asarray(support["img_s"]),
-                     jnp.asarray(support["joints_s"]),
-                     jnp.asarray(support["vis_s"]),
-                     jnp.asarray(support["binary_adj"]))
-        pred, raw_adj = q_fn(self.backbone_params, self.head_params, ctx,
-                             jnp.asarray(query["group"]),
-                             jnp.asarray(query["img_q"]))
-        return pred, raw_adj
+        _, _, combined = self._cached_fns
+        return combined(self.backbone_params, self.head_params,
+                        jnp.asarray(support["img_s"]),
+                        jnp.asarray(support["joints_s"]),
+                        jnp.asarray(support["vis_s"]),
+                        jnp.asarray(support["binary_adj"]),
+                        jnp.asarray(query["group"]),
+                        jnp.asarray(query["img_q"]))
 
     def forward_batch(self, batch: EpisodeBatch):
         """Returns (pred_norm [B, K, 2] in [0,1], raw_adj [B, K, K],
