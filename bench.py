@@ -27,7 +27,8 @@ BASELINE_IMG_PER_SEC = 300000 / 1800.0  # reference: 30 min on 1 GPU
 QUERIES_PER_EPISODE = 15                # test protocol
 
 
-def main(groups: int = 34, iters: int = 10, warmup: int = 2):
+def main(groups: int = 34, iters: int = 10, warmup: int = 2,
+         shots: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +47,7 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2):
     cfg = Config(model=mcfg)
     est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
 
-    g, s, k, hs = groups, 1, mcfg.max_kpt, mcfg.heatmap_size
+    g, s, k, hs = groups, shots, mcfg.max_kpt, mcfg.heatmap_size
     nq = g * QUERIES_PER_EPISODE
     size = mcfg.image_size
     rng = np.random.default_rng(0)
@@ -97,8 +98,10 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2):
 
 
 if __name__ == "__main__":
-    groups = 34
+    groups, shots = 34, 1
     for a in sys.argv[1:]:
         if a.startswith("--groups="):
             groups = int(a.split("=")[1])
-    main(groups=groups)
+        if a.startswith("--shots="):
+            shots = int(a.split("=")[1])
+    main(groups=groups, shots=shots)

@@ -73,6 +73,9 @@ class DataConfig:
     rot_prob: float = 0.6
     pck_threshold_list: Sequence[float] = (0.05, 0.10, 0.15, 0.20, 0.25)
     valid_class_ids: Optional[Sequence[int]] = None
+    # pin specific query image file_names for qualitative runs (the
+    # reference's CustomTestPoseDataset behavior)
+    pin_query_images: Optional[Sequence[str]] = None
     synthetic: bool = False          # use the synthetic MP-100 stand-in
     synthetic_num_classes: int = 10
     synthetic_images_per_class: int = 30

@@ -151,9 +151,15 @@ class MP100Dataset:
 
     def make_episodes(self):
         """Seeded deterministic episodes (reference make_paired_samples:
-        random.seed(1), np.random.seed(0))."""
+        random.seed(1), np.random.seed(0)). With cfg.pin_query_images set,
+        only episodes whose query is one of the pinned file names are kept
+        (the reference's CustomTestPoseDataset qualitative-figure mode)."""
         random.seed(1)
         np.random.seed(0)
+        pinned = None
+        if self.cfg.pin_query_images:
+            pinned = {os.path.basename(n)
+                      for n in self.cfg.pin_query_images}
         samples = []
         for cls in self.valid_class_ids:
             for _ in range(self.cfg.num_episodes):
@@ -161,6 +167,11 @@ class MP100Dataset:
                                       self.num_shots + self.cfg.num_queries)
                 supports = drawn[:self.num_shots]
                 for q in drawn[self.num_shots:]:
+                    if pinned is not None:
+                        name = os.path.basename(
+                            self.db[q]["image_file"])
+                        if name not in pinned:
+                            continue
                     samples.append(supports + [q])
         self.paired_samples = np.array(samples)
 

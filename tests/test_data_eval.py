@@ -179,3 +179,16 @@ def test_cached_eval_five_shot(synth_root):
                           res_folder="/tmp/ec_eval_5shot", progress=False,
                           cache_supports=True)
     assert np.isfinite(res["PCK"]) and 0 <= res["PCK"] <= 1
+
+
+def test_pin_query_images(synth_root):
+    root, ann = synth_root
+    base = MP100Dataset(_data_cfg(root, ann), mode="test")
+    # pin the first two distinct query file names
+    names = [os.path.basename(base.db[p[-1]]["image_file"])
+             for p in base.paired_samples][:2]
+    cfg = _data_cfg(root, ann, pin_query_images=tuple(set(names)))
+    pinned = MP100Dataset(cfg, mode="test")
+    assert 0 < len(pinned) < len(base)
+    for p in pinned.paired_samples:
+        assert os.path.basename(pinned.db[p[-1]]["image_file"]) in set(names)
