@@ -108,9 +108,12 @@ class PoseEstimator:
         size = float(self.cfg.model.image_size)
         sigma = self.cfg.test_data.sigma
 
+        use_udp = self.cfg.test_data.use_udp
+
         def support_fn(bb_params, head_params, img_s, joints_s, vis_s,
                        binary_adj):
-            from .ops.heatmap import render_msra_jnp
+            from .ops.heatmap import render_msra_jnp, render_udp_jnp
+            render = render_udp_jnp if use_udp else render_msra_jnp
             g, s = img_s.shape[:2]
             feats = dinov2.extract_features(
                 bb_params, img_s.reshape((g * s,) + img_s.shape[2:]),
@@ -119,8 +122,8 @@ class PoseEstimator:
             feat_s = feats.reshape(g, s, gh, gw, -1)
             # support heatmaps rendered on device from joints (saves the
             # [G, S, K, 64, 64] host->device transfer)
-            target_s, weight_s = render_msra_jnp(joints_s, vis_s, (hs, hs),
-                                                 (size, size), sigma)
+            target_s, weight_s = render(joints_s, vis_s, (hs, hs),
+                                        (size, size), sigma)
             mask_s = jnp.prod(weight_s[..., 0], axis=1)
             ctx = model.apply({"params": head_params}, feat_s, target_s,
                               mask_s, binary_adj,

@@ -127,3 +127,34 @@ def render_udp(joints_xy, visible, heatmap_size, image_size, sigma: float):
     draw = (weight[:, 0] > 0.5)[:, None, None]
     target = (g * window * draw).astype(np.float32)
     return target, weight.astype(np.float32)
+
+
+def render_udp_jnp(joints_xy, visible, heatmap_size, image_size,
+                   sigma: float):
+    """Device/batched UDP GaussianHeatMap rendering (mirrors render_udp):
+    continuous sub-pixel gaussian center, window anchored at the snapped
+    integer center. joints_xy [..., K, 2], visible [..., K]."""
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    feat_stride = ((jnp.asarray(image_size, dtype=jnp.float32) - 1.0)
+                   / (jnp.array([W, H], dtype=jnp.float32) - 1.0))
+    tmp_size = sigma * 3
+
+    mu_ac = joints_xy / feat_stride
+    mu = jnp.trunc(mu_ac + 0.5)
+    ul = mu - int(tmp_size)
+    br = mu + int(tmp_size) + 1
+    in_bounds = ~((ul[..., 0] >= W) | (ul[..., 1] >= H) | (br[..., 0] < 0)
+                  | (br[..., 1] < 0))
+    weight = visible.astype(jnp.float32) * in_bounds.astype(jnp.float32)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    dx = xs[None, :] - mu_ac[..., 0][..., None, None]
+    dy = ys[:, None] - mu_ac[..., 1][..., None, None]
+    g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    dxi = xs[None, :] - mu[..., 0][..., None, None]
+    dyi = ys[:, None] - mu[..., 1][..., None, None]
+    window = ((dxi >= -tmp_size) & (dxi < tmp_size + 1)
+              & (dyi >= -tmp_size) & (dyi < tmp_size + 1))
+    draw = (weight > 0.5)[..., None, None]
+    return (g * window * draw).astype(jnp.float32), weight[..., None]

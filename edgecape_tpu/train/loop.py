@@ -27,7 +27,7 @@ from flax import struct
 from ..config import Config
 from ..data.mp100 import EpisodeBatch, MP100Dataset
 from ..models import dinov2
-from ..ops.heatmap import render_msra_jnp
+from ..ops.heatmap import render_msra_jnp, render_udp_jnp
 from ..models.edgecape import EdgeCape
 from ..models.head import keypoint_losses, pck_accuracy
 from . import checkpoint as ckpt_lib
@@ -46,6 +46,7 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
     bb_dtype = jnp.dtype(mcfg.compute_dtype)
     hs = mcfg.heatmap_size
     sigma = cfg.train_data.sigma
+    render = render_udp_jnp if cfg.train_data.use_udp else render_msra_jnp
 
     def loss_fn(params, bb_params, batch, rng):
         r_enc, r_dec, r_rec = jax.random.split(rng, 3)
@@ -63,7 +64,7 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
         feat_q = feats[b * s:]
         # support heatmaps rendered ON DEVICE from joints (13KB vs 26MB of
         # host-rendered maps per batch; bit-identical to the host renderer)
-        target_s, weight_s = render_msra_jnp(
+        target_s, weight_s = render(
             batch["joints_s"], batch["vis_s"], (hs, hs), (size, size),
             sigma)
         weight_s = weight_s[..., 0]
@@ -244,7 +245,8 @@ class Trainer:
                             head_params=self.state.params, mesh=None)
         res = run_eval(self.val_ds, est,
                        batch_size=max(self.cfg.train.batch_size, 1),
-                       res_folder=self.cfg.work_dir, progress=False)
+                       res_folder=self.cfg.work_dir, progress=False,
+                       cache_supports=True)
         return float(res["PCK"])
 
     # --------------------------------------------------------------- fit

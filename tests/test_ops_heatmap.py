@@ -69,3 +69,18 @@ def test_peak_value_is_one():
     t, w = heatmap.render_msra(joints, vis, (64, 64), (224, 224), 2)
     assert t.max() == 1.0
     assert w[0, 0] == 1.0
+
+
+def test_udp_jnp_matches_numpy():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    B, K = 2, 12
+    joints = rng.uniform(-10, 240, size=(B, K, 2)).astype(np.float32)
+    vis = (rng.uniform(size=(B, K)) > 0.3).astype(np.float32)
+    t_j, w_j = heatmap.render_udp_jnp(jnp.asarray(joints), jnp.asarray(vis),
+                                      (64, 64), (224, 224), 2.0)
+    for b in range(B):
+        t_n, w_n = heatmap.render_udp(joints[b], vis[b], (64, 64),
+                                      (224, 224), 2.0)
+        np.testing.assert_allclose(np.asarray(t_j)[b], t_n, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w_j)[b], w_n, atol=1e-6)
