@@ -91,7 +91,7 @@ class EdgeCape(nn.Module):
             dim_feedforward=c.dim_feedforward, dropout=c.dropout,
             max_hop=c.max_hops, learn_skeleton=c.learn_skeleton,
             adj_normalization=c.adj_normalization,
-            use_zero_conv=c.use_zero_conv,
+            use_zero_conv=c.use_zero_conv, use_flash=c.use_flash,
             image_feat_dim=c.backbone_dim, name="skeleton")
         self.encoder_layers = [
             EncoderLayer(c.d_model, c.nhead, c.dim_feedforward, c.dropout,
@@ -103,7 +103,7 @@ class EdgeCape(nn.Module):
         self.decoder = Decoder(
             c.d_model, c.nhead, c.dim_feedforward, c.num_decoder_layers,
             c.dropout, attn_bias=c.attn_bias, max_hops=c.max_hops,
-            num_feats=c.num_feats, name="decoder")
+            num_feats=c.num_feats, use_flash=c.use_flash, name="decoder")
         self.mask_token = self.param("mask_token", nn.initializers.zeros,
                                      (1, c.d_model))
 

@@ -31,6 +31,7 @@ class SkeletonPredictor(nn.Module):
     learn_skeleton: bool = False
     adj_normalization: bool = True
     use_zero_conv: bool = True
+    use_flash: bool = False
     image_feat_dim: int = 384  # backbone channels fed to image_project
 
     @nn.compact
@@ -67,6 +68,7 @@ class SkeletonPredictor(nn.Module):
 
         layers = [DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
                                self.dropout, two_way_attn=True,
+                               use_flash=self.use_flash,
                                name=f"refine{i}")
                   for i in range(self.num_layers)]
 

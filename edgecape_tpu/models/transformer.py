@@ -74,8 +74,10 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, nk, h, hd)
         v = v.reshape(b, nk, h, hd)
 
-        # fused kernel: self-attention shapes, no additive head bias, no
-        # attention-prob dropout (eval)
+        # fused kernel: no additive head bias, no attention-prob dropout
+        # (eval). The kernel supports cross-attention (nq != nk) but at the
+        # decoder's small query counts XLA's batched matmul wins, so the
+        # fused path is applied to self-attention shapes only.
         if self.use_flash and nq == nk and bias is None and not train:
             from ..ops.flash_attention import flash_mha
             out = flash_mha(q, k, v, key_valid).reshape(
@@ -196,6 +198,7 @@ class DecoderLayer(nn.Module):
     attn_bias: bool = False
     max_hops: int = 4
     two_way_attn: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, kp_tokens, img_tokens, *, kp_valid, kp_query_pos,
@@ -208,6 +211,7 @@ class DecoderLayer(nn.Module):
             bias = MarkovBiasMLP(self.nhead, self.max_hops,
                                  name="bias_mlp")(hop_stack)
         att = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                 use_flash=self.use_flash,
                                  name="self_attn")(
             kp_tokens, kp_tokens, kp_tokens, key_valid=kp_valid, bias=bias,
             train=train)
@@ -218,6 +222,7 @@ class DecoderLayer(nn.Module):
         q = jnp.concatenate([x, kp_query_pos], axis=-1)
         k = jnp.concatenate([img_tokens, img_pos], axis=-1)
         att = MultiHeadAttention(2 * self.d_model, self.nhead, self.dropout,
+                                 use_flash=self.use_flash,
                                  name="cross_attn")(
             q, k, img_tokens, train=train)
         att = dense(self.d_model, "choker")(att)
@@ -235,7 +240,9 @@ class DecoderLayer(nn.Module):
             q2 = jnp.concatenate([img_tokens, img_pos], axis=-1)
             k2 = jnp.concatenate([x, kp_query_pos], axis=-1)
             att2 = MultiHeadAttention(2 * self.d_model, self.nhead,
-                                      self.dropout, name="two_way_attn")(
+                                      self.dropout,
+                                      use_flash=self.use_flash,
+                                      name="two_way_attn")(
                 q2, k2, x, train=train)
             att2 = dense(self.d_model, "two_way_choker")(att2)
             img_tokens = img_tokens + drop(att2)
@@ -287,12 +294,14 @@ class Decoder(nn.Module):
     attn_bias: bool = False
     max_hops: int = 4
     num_feats: int = 128
+    use_flash: bool = False
 
     def setup(self):
         self.layers = [
             DecoderLayer(self.d_model, self.nhead, self.dim_feedforward,
                          self.dropout, attn_bias=self.attn_bias,
-                         max_hops=self.max_hops, name=f"layer{i}")
+                         max_hops=self.max_hops, use_flash=self.use_flash,
+                         name=f"layer{i}")
             for i in range(self.num_layers)]
         self.norm = nn.LayerNorm(name="norm")
         self.ref_point_head = RefPointHead(self.d_model)

@@ -63,38 +63,43 @@ def _kernel_with_bias(q_ref, k_ref, v_ref, kb_ref, o_ref, *, scale, n_real):
 def flash_mha(q, k, v, key_valid=None, *, interpret: bool = False):
     """Fused softmax(q k^T / sqrt(D) + key_bias) v.
 
-    q/k/v: [B, N, H, D] (the backbone's natural layout) -> [B, N, H, D].
-    key_valid: optional [B, N] bool — invalid keys are excluded from the
-    softmax (the torch key_padding_mask semantics).
+    q: [B, Nq, H, D]; k/v: [B, Nk, H, D] -> [B, Nq, H, D] (self- and
+    cross-attention). key_valid: optional [B, Nk] bool — invalid keys are
+    excluded from the softmax (the torch key_padding_mask semantics).
     """
-    b, n, h, d = q.shape
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
     out_dtype = q.dtype
     # the kernel computes in bf16 regardless; cast before the call so VMEM
     # blocks are half-size even for fp32 callers
     q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
 
     scale = 1.0 / math.sqrt(d)
-    # single q-tile per (batch, head) when the sequence is short (the ViT's
-    # 257 tokens): K/V are DMA'd exactly once per program
-    if n <= 512:
-        tile_q = _round_up(n, 128 if n >= 128 else 16)
+    # single q-tile per (batch, head) when the query set is short (the
+    # ViT's 257 tokens, the head's <=356): K/V are DMA'd once per program
+    if nq <= 512:
+        tile_q = _round_up(nq, 128 if nq >= 128 else 16)
     else:
         tile_q = 128
-    n_pad = _round_up(n, tile_q)
-    if n_pad != n:
-        pad = [(0, 0), (0, n_pad - n), (0, 0)]
-        qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
+    nq_pad = _round_up(nq, tile_q)
+    nk_pad = _round_up(nk, 128 if nk >= 128 else 16)
+    if nq_pad != nq:
+        qt = jnp.pad(qt, [(0, 0), (0, nq_pad - nq), (0, 0)])
+    if nk_pad != nk:
+        pad = [(0, 0), (0, nk_pad - nk), (0, 0)]
+        kt, vt = (jnp.pad(x, pad) for x in (kt, vt))
     bh = b * h
     # group size: amortize per-program overhead while staying inside the
     # 16MB scoped-VMEM limit (4 blocks, double-buffered, + score scratch)
     group = 1
-    itemsize = jnp.dtype(q.dtype).itemsize
-    if n_pad == tile_q:
+    itemsize = 2  # bf16 blocks
+    if nq_pad == tile_q:
         for g in (16, 12, 8, 4, 2):
-            need = 4 * 2 * g * n_pad * d * itemsize + 2 * tile_q * n_pad * 4
+            need = (2 * 2 * g * (nq_pad + nk_pad) * d * itemsize
+                    + 2 * tile_q * nk_pad * 4)
             if bh % g == 0 and need < 12 * 1024 * 1024:
                 group = g
                 break
@@ -102,35 +107,36 @@ def flash_mha(q, k, v, key_valid=None, *, interpret: bool = False):
     in_specs = [
         pl.BlockSpec((group, tile_q, d), lambda bi, i: (bi, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
+        pl.BlockSpec((group, nk_pad, d), lambda bi, i: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((group, n_pad, d), lambda bi, i: (bi, 0, 0),
+        pl.BlockSpec((group, nk_pad, d), lambda bi, i: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qt, kt, vt]
     if key_valid is not None:
         kb = jnp.where(key_valid, 0.0, -jnp.inf).astype(jnp.float32)
-        kb = jnp.pad(kb, [(0, 0), (0, n_pad - n)],
+        kb = jnp.pad(kb, [(0, 0), (0, nk_pad - nk)],
                      constant_values=-jnp.inf)
         kb = jnp.repeat(kb[:, None, None, :], h, axis=1).reshape(
-            bh, 1, n_pad)
-        in_specs.append(pl.BlockSpec((group, 1, n_pad),
+            bh, 1, nk_pad)
+        in_specs.append(pl.BlockSpec((group, 1, nk_pad),
                                      lambda bi, i: (bi, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(kb)
-        kernel = functools.partial(_kernel_with_bias, scale=scale, n_real=n)
+        kernel = functools.partial(_kernel_with_bias, scale=scale,
+                                   n_real=nk)
     else:
-        kernel = functools.partial(_attn_kernel, scale=scale, n_real=n)
+        kernel = functools.partial(_attn_kernel, scale=scale, n_real=nk)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), jnp.bfloat16),
-        grid=(bh // group, n_pad // tile_q),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), jnp.bfloat16),
+        grid=(bh // group, nq_pad // tile_q),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((group, tile_q, d), lambda bi, i: (bi, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
-    out = out[:, :n, :].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    out = out[:, :nq, :].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
     return out.astype(out_dtype)
 
 

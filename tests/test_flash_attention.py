@@ -54,3 +54,15 @@ def test_flash_key_valid_matches_masked_reference():
     p = jax.nn.softmax(s, axis=-1)
     ref = np.asarray(jnp.einsum("bhqk,bkhd->bqhd", p, v))
     np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
+
+
+def test_flash_cross_attention_matches_reference():
+    rng = np.random.default_rng(3)
+    b, nq, nk, h, d = 2, 100, 256, 8, 64
+    q = jnp.asarray(rng.normal(size=(b, nq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, nk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, nk, h, d)), jnp.float32)
+    out = np.asarray(fa.flash_mha(q, k, v, interpret=True))
+    ref = np.asarray(fa.reference_mha(q, k, v))
+    assert out.shape == (b, nq, h, d)
+    np.testing.assert_allclose(out, ref, atol=0.02, rtol=0.02)
