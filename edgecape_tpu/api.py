@@ -149,6 +149,17 @@ class PoseEstimator:
                              vis_s, binary_adj)
             return query_fn(bb_params, head_params, ctx, group, img_q)
 
+        if self.mesh is not None:
+            # multi-chip eval: supports sharded by group, queries by row;
+            # the ctx gather crosses shards — XLA inserts the collective
+            from .parallel.mesh import batch_sharding, replicated
+            shb = batch_sharding(self.mesh)
+            rep = replicated(self.mesh)
+            combined_jit = jax.jit(
+                combined_fn,
+                in_shardings=(rep, rep, shb, shb, shb, shb, shb, shb),
+                out_shardings=(shb, shb))
+            return (jax.jit(support_fn), jax.jit(query_fn), combined_jit)
         return jax.jit(support_fn), jax.jit(query_fn), jax.jit(combined_fn)
 
     def forward_cached(self, support: dict, query: dict):

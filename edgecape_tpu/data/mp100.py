@@ -220,22 +220,24 @@ class MP100Dataset:
             groups.append((cur_key, cur_rows))
         return groups
 
-    def collate_group(self, groups, *, use_native: bool = True):
+    def collate_group(self, groups, *, num_threads: int = 8):
         """Collate G support groups + all their queries.
 
         Returns (support arrays dict [G, ...], query EpisodeBatch-like dict
         with [sum(len(rows)), ...] and per-row group index).
         Support images are preprocessed once per group instead of once per
-        query (the reference re-runs them for each of the 15 queries).
+        query (the reference re-runs them for each of the 15 queries);
+        heatmaps are NOT rendered host-side (the device renders them from
+        joints); per-image work runs on a thread pool.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
         s, k = self.num_shots, cfg.max_kpt
         g = len(groups)
-        size, hs = cfg.image_size, cfg.heatmap_size
+        size = cfg.image_size
 
         sup_img = np.zeros((g, s, size, size, 3), np.float32)
-        sup_tgt = np.zeros((g, s, k, hs, hs), np.float32)
-        sup_w = np.zeros((g, s, k), np.float32)
         sup_joints = np.zeros((g, s, k, 2), np.float32)
         sup_vis = np.zeros((g, s, k), np.float32)
         adj = np.zeros((g, k, k), np.float32)
@@ -250,35 +252,44 @@ class MP100Dataset:
         scales = np.zeros((nq, 2), np.float32)
         paths, bbox_ids, cats = [], [], []
 
-        for gi, (sup_ids, rows) in enumerate(groups):
-            for si, sid in enumerate(sup_ids):
-                sample = preprocess(self.db[sid], cfg, augment=False)
-                sup_img[gi, si] = sample.img
-                sup_tgt[gi, si] = sample.target
-                sup_w[gi, si] = sample.target_weight
-                sup_joints[gi, si] = sample.joints
-                sup_vis[gi, si] = sample.joints_visible
-            adj[gi] = graph.adjacency_from_edges(
-                self.db[sup_ids[0]]["skeleton"], k)
+        def prep(db_id):
+            return preprocess(self.db[db_id], cfg, augment=False,
+                              with_target=False)
 
+        sup_jobs = [(gi, si, sid) for gi, (sup_ids, _) in enumerate(groups)
+                    for si, sid in enumerate(sup_ids)]
+        q_jobs = []
         row_i = 0
         for gi, (sup_ids, rows) in enumerate(groups):
+            adj[gi] = graph.adjacency_from_edges(
+                self.db[sup_ids[0]]["skeleton"], k)
             for r in rows:
-                qid = self.paired_samples[r][-1]
-                sample = preprocess(self.db[qid], cfg, augment=False)
-                q_img[row_i] = sample.img
-                q_w[row_i] = sample.target_weight
-                joints_q[row_i] = sample.joints
-                group_of_row[row_i] = gi
-                centers[row_i] = sample.center
-                scales[row_i] = sample.scale
-                paths.append(self.db[qid]["image_file"])
-                bbox_ids.append(int(r))
-                cats.append(self.db[qid]["category_id"])
+                q_jobs.append((row_i, gi, r))
                 row_i += 1
 
-        support = {"img_s": sup_img, "target_s": sup_tgt,
-                   "weight_s": sup_w, "binary_adj": adj,
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            sup_samples = list(pool.map(lambda j: prep(j[2]), sup_jobs))
+            q_samples = list(pool.map(
+                lambda j: prep(self.paired_samples[j[2]][-1]), q_jobs))
+
+        for (gi, si, _), sample in zip(sup_jobs, sup_samples):
+            sup_img[gi, si] = sample.img
+            sup_joints[gi, si] = sample.joints
+            sup_vis[gi, si] = sample.joints_visible
+
+        for (row_i, gi, r), sample in zip(q_jobs, q_samples):
+            qid = self.paired_samples[r][-1]
+            q_img[row_i] = sample.img
+            q_w[row_i] = sample.joints_visible
+            joints_q[row_i] = sample.joints
+            group_of_row[row_i] = gi
+            centers[row_i] = sample.center
+            scales[row_i] = sample.scale
+            paths.append(self.db[qid]["image_file"])
+            bbox_ids.append(int(r))
+            cats.append(self.db[qid]["category_id"])
+
+        support = {"img_s": sup_img, "binary_adj": adj,
                    "joints_s": sup_joints, "vis_s": sup_vis}
         query = {"img_q": q_img, "weight_q": q_w, "joints_q": joints_q,
                  "group": group_of_row}

@@ -63,9 +63,11 @@ def random_scale_rotation(scale, cfg: DataConfig, rng: np.random.Generator):
 
 def preprocess(record: dict, cfg: DataConfig, *, augment: bool = False,
                rng: Optional[np.random.Generator] = None,
-               image: Optional[np.ndarray] = None) -> Sample:
+               image: Optional[np.ndarray] = None,
+               with_target: bool = True) -> Sample:
     """record: db entry with image_file/center/scale/joints_3d/
-    joints_3d_visible (see mp100.build_db)."""
+    joints_3d_visible (see mp100.build_db). with_target=False skips host
+    heatmap rendering (the device-render paths only need joints)."""
     img = image if image is not None else load_image(record["image_file"])
     center = np.asarray(record["center"], np.float32)
     scale = np.asarray(record["scale"], np.float32)
@@ -88,9 +90,13 @@ def preprocess(record: dict, cfg: DataConfig, *, augment: bool = False,
         warped = cv2.warpAffine(img, mat, size, flags=cv2.INTER_LINEAR)
         joints_t = affine.affine_transform_points(joints, mat).astype(
             np.float32)
-        target, weight = heatmap.render_udp(
-            joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size), size,
-            cfg.sigma)
+        if with_target:
+            target, weight = heatmap.render_udp(
+                joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size),
+                size, cfg.sigma)
+        else:
+            target = np.zeros((len(joints_t), 0, 0), np.float32)
+            weight = visible[:, None].copy()
     else:
         mat = affine.get_affine_transform(center, scale, rot, size)
         warped = cv2.warpAffine(img, mat, size, flags=cv2.INTER_LINEAR)
@@ -98,9 +104,13 @@ def preprocess(record: dict, cfg: DataConfig, *, augment: bool = False,
         vis_mask = visible > 0
         joints_t[vis_mask] = affine.affine_transform_points(
             joints[vis_mask], mat)
-        target, weight = heatmap.render_msra(
-            joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size), size,
-            cfg.sigma)
+        if with_target:
+            target, weight = heatmap.render_msra(
+                joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size),
+                size, cfg.sigma)
+        else:
+            target = np.zeros((len(joints_t), 0, 0), np.float32)
+            weight = visible[:, None].copy()
 
     imgf = (warped.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     return Sample(img=imgf, target=target, target_weight=weight[:, 0],

@@ -61,13 +61,21 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
 
     if cache_supports:
         # split-phase: support context once per episode, gathered by the
-        # 15 queries that share it (the big eval-throughput win)
+        # 15 queries that share it (the big eval-throughput win); host
+        # collation of the next chunk overlaps device compute
+        from concurrent.futures import ThreadPoolExecutor
+
         groups = dataset.support_groups()
         nq = max(len(rows) for _, rows in groups)
         g_per_batch = max(1, batch_size // nq)
-        for start in range(0, len(groups), g_per_batch):
-            chunk = groups[start:start + g_per_batch]
-            support, query, meta = dataset.collate_group(chunk)
+        chunks = [groups[i:i + g_per_batch]
+                  for i in range(0, len(groups), g_per_batch)]
+        pool = ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(dataset.collate_group, chunks[0])
+        for ci in range(len(chunks)):
+            support, query, meta = pending.result()
+            if ci + 1 < len(chunks):
+                pending = pool.submit(dataset.collate_group, chunks[ci + 1])
             pred_norm, _ = estimator.forward_cached(support, query)
             coords = np.asarray(pred_norm) * size
             preds_img = transform_preds_batch(
@@ -79,6 +87,7 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
                 rate = n_done / max(time.time() - t0, 1e-9)
                 print(f"\reval {n_done}/{len(dataset)} "
                       f"({rate:.1f} img/s)", end="", flush=True)
+        pool.shutdown(wait=False)
     else:
         for batch in dataset.batches(batch_size, masking_ratio=0.0):
             pred_norm, _, _ = estimator.forward_batch(batch)

@@ -128,3 +128,32 @@ def test_pad_to_multiple():
     assert padded.shape == (8, 2)
     assert n == 5
     np.testing.assert_array_equal(padded[4:], [[8, 9]] * 4)
+
+
+def test_sharded_cached_eval_matches_single_device():
+    """forward_cached over the mesh: supports sharded by group, queries by
+    row, outputs identical to single-device."""
+    from edgecape_tpu.api import PoseEstimator
+
+    cfg = _cfg()
+    rng = np.random.default_rng(1)
+    g, s, nq_per = 8, 1, 2
+    support = {
+        "img_s": rng.normal(size=(g, s, 56, 56, 3)).astype(np.float32),
+        "joints_s": rng.uniform(5, 50, size=(g, s, K, 2)).astype(np.float32),
+        "vis_s": np.ones((g, s, K), np.float32),
+        "binary_adj": np.tile(np.eye(K, k=1, dtype=np.float32)
+                              + np.eye(K, k=-1, dtype=np.float32),
+                              (g, 1, 1)),
+    }
+    query = {
+        "img_q": rng.normal(size=(g * nq_per, 56, 56, 3)).astype(np.float32),
+        "group": np.repeat(np.arange(g, dtype=np.int32), nq_per),
+    }
+    est1 = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    pred1, _ = est1.forward_cached(support, query)
+    est8 = PoseEstimator(cfg, backbone_params=est1.backbone_params,
+                         head_params=est1.head_params, mesh=make_mesh())
+    pred8, _ = est8.forward_cached(support, query)
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred8),
+                               atol=2e-5)
