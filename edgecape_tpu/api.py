@@ -22,6 +22,17 @@ from .data.mp100 import EpisodeBatch
 from .models import dinov2
 from .models.edgecape import EdgeCape, ModelOutput
 from .ops import affine
+from .ops.warp import IMAGENET_MEAN, IMAGENET_STD
+
+
+def _maybe_normalize(imgs):
+    """uint8 images -> ImageNet-normalized float32 (no-op for floats,
+    which arrive pre-normalized from the parity collate path)."""
+    if imgs.dtype == jnp.uint8:
+        return ((imgs.astype(jnp.float32) / 255.0
+                 - jnp.asarray(IMAGENET_MEAN, jnp.float32))
+                / jnp.asarray(IMAGENET_STD, jnp.float32))
+    return imgs
 
 
 class PoseEstimator:
@@ -115,9 +126,10 @@ class PoseEstimator:
             from .ops.heatmap import render_msra_jnp, render_udp_jnp
             render = render_udp_jnp if use_udp else render_msra_jnp
             g, s = img_s.shape[:2]
-            feats = dinov2.extract_features(
-                bb_params, img_s.reshape((g * s,) + img_s.shape[2:]),
-                bb_cfg, dtype=dtype)
+            imgs = _maybe_normalize(
+                img_s.reshape((g * s,) + img_s.shape[2:]))
+            feats = dinov2.extract_features(bb_params, imgs, bb_cfg,
+                                            dtype=dtype)
             gh, gw = feats.shape[1:3]
             feat_s = feats.reshape(g, s, gh, gw, -1)
             # support heatmaps rendered on device from joints (saves the
@@ -131,8 +143,9 @@ class PoseEstimator:
             return ctx
 
         def query_fn(bb_params, head_params, ctx, group, img_q):
-            feat_q = dinov2.extract_features(bb_params, img_q, bb_cfg,
-                                             dtype=dtype)
+            feat_q = dinov2.extract_features(bb_params,
+                                             _maybe_normalize(img_q),
+                                             bb_cfg, dtype=dtype)
             # gather each query row's support context
             ctx_rows = jax.tree.map(lambda a: a[group], ctx)
             enc = model.apply({"params": head_params}, feat_q, ctx_rows,

@@ -237,14 +237,14 @@ class MP100Dataset:
         g = len(groups)
         size = cfg.image_size
 
-        sup_img = np.zeros((g, s, size, size, 3), np.float32)
+        sup_img = np.zeros((g, s, size, size, 3), np.uint8)
         sup_joints = np.zeros((g, s, k, 2), np.float32)
         sup_vis = np.zeros((g, s, k), np.float32)
         adj = np.zeros((g, k, k), np.float32)
 
         q_rows = [r for _, rows in groups for r in rows]
         nq = len(q_rows)
-        q_img = np.zeros((nq, size, size, 3), np.float32)
+        q_img = np.zeros((nq, size, size, 3), np.uint8)
         q_w = np.zeros((nq, k), np.float32)
         joints_q = np.zeros((nq, k, 2), np.float32)
         group_of_row = np.zeros(nq, np.int32)
@@ -253,8 +253,10 @@ class MP100Dataset:
         paths, bbox_ids, cats = [], [], []
 
         def prep(db_id):
+            # uint8 out: ImageNet normalization happens on device (4x less
+            # host->device traffic; same math, reference operation order)
             return preprocess(self.db[db_id], cfg, augment=False,
-                              with_target=False)
+                              with_target=False, normalize=False)
 
         sup_jobs = [(gi, si, sid) for gi, (sup_ids, _) in enumerate(groups)
                     for si, sid in enumerate(sup_ids)]

@@ -64,7 +64,8 @@ def random_scale_rotation(scale, cfg: DataConfig, rng: np.random.Generator):
 def preprocess(record: dict, cfg: DataConfig, *, augment: bool = False,
                rng: Optional[np.random.Generator] = None,
                image: Optional[np.ndarray] = None,
-               with_target: bool = True) -> Sample:
+               with_target: bool = True,
+               normalize: bool = True) -> Sample:
     """record: db entry with image_file/center/scale/joints_3d/
     joints_3d_visible (see mp100.build_db). with_target=False skips host
     heatmap rendering (the device-render paths only need joints)."""
@@ -112,7 +113,11 @@ def preprocess(record: dict, cfg: DataConfig, *, augment: bool = False,
             target = np.zeros((len(joints_t), 0, 0), np.float32)
             weight = visible[:, None].copy()
 
-    imgf = (warped.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-    return Sample(img=imgf, target=target, target_weight=weight[:, 0],
+    if normalize:
+        img_out = (warped.astype(np.float32) / 255.0
+                   - IMAGENET_MEAN) / IMAGENET_STD
+    else:
+        img_out = warped  # uint8; normalization happens on device
+    return Sample(img=img_out, target=target, target_weight=weight[:, 0],
                   joints=joints_t, joints_visible=visible, center=center,
                   scale=scale, rotation=rot)

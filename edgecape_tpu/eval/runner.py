@@ -67,17 +67,29 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
 
         groups = dataset.support_groups()
         nq = max(len(rows) for _, rows in groups)
-        g_per_batch = max(1, batch_size // nq)
-        chunks = [groups[i:i + g_per_batch]
-                  for i in range(0, len(groups), g_per_batch)]
+        g_per_batch = max(1, min(batch_size // nq, len(groups)))
+        chunks = []
+        for i in range(0, len(groups), g_per_batch):
+            chunk = groups[i:i + g_per_batch]
+            real = len(chunk)
+            # pad to a fixed group count (repeat the last group) so every
+            # chunk compiles to the same shapes; padded rows are dropped
+            while len(chunk) < g_per_batch:
+                chunk = chunk + [chunk[-1]]
+            chunks.append((chunk, real))
         pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(dataset.collate_group, chunks[0])
+        pending = pool.submit(dataset.collate_group, chunks[0][0])
         for ci in range(len(chunks)):
             support, query, meta = pending.result()
+            real_groups = chunks[ci][1]
             if ci + 1 < len(chunks):
-                pending = pool.submit(dataset.collate_group, chunks[ci + 1])
+                pending = pool.submit(dataset.collate_group,
+                                      chunks[ci + 1][0])
             pred_norm, _ = estimator.forward_cached(support, query)
-            coords = np.asarray(pred_norm) * size
+            n_real = int(np.sum(query["group"] < real_groups))
+            coords = np.asarray(pred_norm)[:n_real] * size
+            meta = {kk: (v[:n_real] if not isinstance(v, list)
+                         else v[:n_real]) for kk, v in meta.items()}
             preds_img = transform_preds_batch(
                 coords, meta["query_center"], meta["query_scale"],
                 (size, size))
