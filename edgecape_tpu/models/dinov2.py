@@ -159,6 +159,10 @@ def extract_features(params: Any, images: jnp.ndarray,
     kernel ("auto" = on TPU backends only)."""
     if use_flash == "auto":
         use_flash = jax.default_backend() == "tpu"
+    if use_flash and dtype == jnp.bfloat16:
+        # fully-fused functional path (flash attention + fused LN/MLP
+        # Pallas blocks) over the same param tree
+        return fast_forward(params, images, cfg)
     feats = DinoViT(cfg, dtype=dtype, use_flash=bool(use_flash)).apply(
         {"params": params}, images.astype(dtype))
     return jax.lax.stop_gradient(feats.astype(jnp.float32))
@@ -248,3 +252,62 @@ def convert_torch_state_dict(sd: dict, image_size: int = 224,
             "mlp_fc2": linear(p + "mlp.fc2"),
         }
     return jax.tree.map(jnp.asarray, params)
+
+
+def fast_forward(params: Any, images: jnp.ndarray,
+                 cfg: DinoV2Config = VIT_S14) -> jnp.ndarray:
+    """Kernel-fused functional forward over the same param tree as DinoViT
+    (bf16): Pallas flash attention + fused LN/MLP/residual blocks. Used by
+    the TPU fast path; numerics equal to the flax bf16 path at bf16
+    resolution.
+    """
+    from ..ops.flash_attention import flash_mha
+    from ..ops.fused_mlp import fused_ln_mlp
+
+    c = cfg
+    b, h, w, _ = images.shape
+    gh, gw = h // c.patch_size, w // c.patch_size
+    images = images[:, :gh * c.patch_size, :gw * c.patch_size, :]
+    x = images.astype(jnp.bfloat16)
+    patches = x.reshape(b, gh, c.patch_size, gw, c.patch_size, 3)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, gh * gw, c.patch_size * c.patch_size * 3)
+    pe = params["patch_embed"]
+    x = patches @ pe["kernel"].astype(jnp.bfloat16) + pe["bias"].astype(
+        jnp.bfloat16)
+    cls = jnp.broadcast_to(params["cls_token"].astype(jnp.bfloat16),
+                           (b, 1, c.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(jnp.bfloat16)
+    n = x.shape[1]
+
+    def layer_norm(v, p):
+        vf = v.astype(jnp.float32)
+        mean = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean((vf - mean) ** 2, axis=-1, keepdims=True)
+        out = (vf - mean) * jax.lax.rsqrt(var + c.ln_eps)
+        return (out * p["scale"] + p["bias"]).astype(jnp.bfloat16)
+
+    hd = c.embed_dim // c.num_heads
+    for i in range(c.depth):
+        blk = params[f"block{i}"]
+        # attention half: LN -> qkv -> flash -> proj -> layerscale residual
+        hN = layer_norm(x, blk["norm1"])
+        att = blk["attn"]
+        qkv = hN @ att["qkv"]["kernel"].astype(jnp.bfloat16) + \
+            att["qkv"]["bias"].astype(jnp.bfloat16)
+        qkv = qkv.reshape(b, n, 3, c.num_heads, hd)
+        o = flash_mha(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        o = o.reshape(b, n, c.embed_dim)
+        o = o @ att["proj"]["kernel"].astype(jnp.bfloat16) + \
+            att["proj"]["bias"].astype(jnp.bfloat16)
+        x = x + blk["ls1_gamma"].astype(jnp.bfloat16) * o
+        # MLP half: fully fused Pallas block
+        x = fused_ln_mlp(x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                         blk["mlp_fc1"]["kernel"], blk["mlp_fc1"]["bias"],
+                         blk["mlp_fc2"]["kernel"], blk["mlp_fc2"]["bias"],
+                         blk["ls2_gamma"], eps=c.ln_eps)
+
+    x = layer_norm(x, params["norm"]).astype(jnp.float32)
+    feats = x[:, 1:, :]
+    return jax.lax.stop_gradient(feats.reshape(b, gh, gw, c.embed_dim))
