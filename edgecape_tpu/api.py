@@ -44,7 +44,8 @@ class PoseEstimator:
                  rng: Optional[jax.Array] = None,
                  mesh: Optional[jax.sharding.Mesh] = None):
         import dataclasses as _dc
-        if jax.default_backend() == "tpu" and not cfg.model.use_flash:
+        if (jax.default_backend() == "tpu" and not cfg.model.use_flash
+                and mesh is None):
             # the fused-attention flag changes no parameters, only compute
             cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
                                                      use_flash=True))
@@ -77,6 +78,7 @@ class PoseEstimator:
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
+        flash = "auto" if self.mesh is None else False
 
         def forward(bb_params, head_params, img_s, img_q, target_s,
                     weight_s, binary_adj):
@@ -84,7 +86,7 @@ class PoseEstimator:
             imgs = jnp.concatenate(
                 [img_s.reshape((b * s,) + img_s.shape[2:]), img_q], axis=0)
             feats = dinov2.extract_features(bb_params, imgs, bb_cfg,
-                                            dtype=dtype)
+                                            dtype=dtype, use_flash=flash)
             gh, gw = feats.shape[1:3]
             feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
             feat_q = feats[b * s:]
@@ -115,6 +117,9 @@ class PoseEstimator:
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
+        # Pallas kernels under a sharded mesh need real multi-chip
+        # validation (ROADMAP); multi-chip uses the XLA paths for now
+        flash = "auto" if self.mesh is None else False
         hs = self.cfg.model.heatmap_size
         size = float(self.cfg.model.image_size)
         sigma = self.cfg.test_data.sigma
@@ -129,7 +134,7 @@ class PoseEstimator:
             imgs = _maybe_normalize(
                 img_s.reshape((g * s,) + img_s.shape[2:]))
             feats = dinov2.extract_features(bb_params, imgs, bb_cfg,
-                                            dtype=dtype)
+                                            dtype=dtype, use_flash=flash)
             gh, gw = feats.shape[1:3]
             feat_s = feats.reshape(g, s, gh, gw, -1)
             # support heatmaps rendered on device from joints (saves the
@@ -145,7 +150,8 @@ class PoseEstimator:
         def query_fn(bb_params, head_params, ctx, group, img_q):
             feat_q = dinov2.extract_features(bb_params,
                                              _maybe_normalize(img_q),
-                                             bb_cfg, dtype=dtype)
+                                             bb_cfg, dtype=dtype,
+                                             use_flash=flash)
             # gather each query row's support context
             ctx_rows = jax.tree.map(lambda a: a[group], ctx)
             enc = model.apply({"params": head_params}, feat_q, ctx_rows,
