@@ -89,7 +89,8 @@ class TrainConfig:
     warmup_ratio: float = 0.001
     lr_step: Sequence[int] = (160, 180)
     lr_gamma: float = 0.1
-    batch_size: int = 16           # per replica
+    batch_size: int = 16           # GLOBAL batch, sharded over the
+                                   # mesh (reference used 16/GPU)
     eval_interval: int = 25
     ckpt_interval: int = 20
     log_interval: int = 50

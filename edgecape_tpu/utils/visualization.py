@@ -85,3 +85,41 @@ def plot_results(support_img, query_img, support_kpts, support_vis,
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+def plot_similarity_maps(query_img, similarity, kpt_indices, out_dir,
+                         prefix: str = "similarity",
+                         normalize_imgs: bool = True):
+    """Debug render of per-keypoint similarity maps over the query image
+    (reference visualization.py plot_heatmap equivalent).
+
+    query_img: [H, W, 3]; similarity: [K, h, w] proposal-generator logits.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if normalize_imgs:
+        query_img = denormalize_image(query_img)
+    n = len(kpt_indices)
+    fig, axes = plt.subplots(1, max(n, 1), figsize=(4 * max(n, 1), 4))
+    if n == 1:
+        axes = [axes]
+    hq, wq = query_img.shape[:2]
+    for ax, ki in zip(axes, kpt_indices):
+        ax.imshow(np.clip(query_img, 0, 1))
+        sim = np.asarray(similarity[ki], dtype=np.float32)
+        e = np.exp(sim - sim.max())
+        prob = e / e.sum()
+        ax.imshow(prob, alpha=0.6, extent=(0, wq, hq, 0), cmap="jet")
+        ax.set_title(f"kp {ki}")
+        ax.axis("off")
+    os.makedirs(out_dir, exist_ok=True)
+    idx = 0
+    while os.path.exists(os.path.join(out_dir, f"{prefix}_{idx}.png")):
+        idx += 1
+    path = os.path.join(out_dir, f"{prefix}_{idx}.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
