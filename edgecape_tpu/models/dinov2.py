@@ -261,7 +261,7 @@ def fast_forward(params: Any, images: jnp.ndarray,
     the TPU fast path; numerics equal to the flax bf16 path at bf16
     resolution.
     """
-    from ..ops.flash_attention import flash_mha
+    from ..ops.fused_attn_block import fused_attn_block
     from ..ops.fused_mlp import fused_ln_mlp
 
     c = cfg
@@ -288,20 +288,20 @@ def fast_forward(params: Any, images: jnp.ndarray,
         out = (vf - mean) * jax.lax.rsqrt(var + c.ln_eps)
         return (out * p["scale"] + p["bias"]).astype(jnp.bfloat16)
 
-    hd = c.embed_dim // c.num_heads
+    ce = c.embed_dim
     for i in range(c.depth):
         blk = params[f"block{i}"]
-        # attention half: LN -> qkv -> flash -> proj -> layerscale residual
-        hN = layer_norm(x, blk["norm1"])
         att = blk["attn"]
-        qkv = hN @ att["qkv"]["kernel"].astype(jnp.bfloat16) + \
-            att["qkv"]["bias"].astype(jnp.bfloat16)
-        qkv = qkv.reshape(b, n, 3, c.num_heads, hd)
-        o = flash_mha(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
-        o = o.reshape(b, n, c.embed_dim)
-        o = o @ att["proj"]["kernel"].astype(jnp.bfloat16) + \
-            att["proj"]["bias"].astype(jnp.bfloat16)
-        x = x + blk["ls1_gamma"].astype(jnp.bfloat16) * o
+        wqkv = att["qkv"]["kernel"]      # [C, 3C]: q | k | v columns
+        bqkv = att["qkv"]["bias"]
+        # attention half: fully fused Pallas block (LN + MHA + proj +
+        # layerscale residual)
+        x = fused_attn_block(
+            x, blk["norm1"]["scale"], blk["norm1"]["bias"],
+            wqkv[:, :ce], bqkv[:ce], wqkv[:, ce:2 * ce], bqkv[ce:2 * ce],
+            wqkv[:, 2 * ce:], bqkv[2 * ce:], att["proj"]["kernel"],
+            att["proj"]["bias"], blk["ls1_gamma"],
+            num_heads=c.num_heads, eps=c.ln_eps)
         # MLP half: fully fused Pallas block
         x = fused_ln_mlp(x, blk["norm2"]["scale"], blk["norm2"]["bias"],
                          blk["mlp_fc1"]["kernel"], blk["mlp_fc1"]["bias"],
