@@ -43,6 +43,13 @@ class ModelConfig:
     masked_supervision: bool = False
     masking_ratio: float = 0.5
     attn_bias: bool = False
+    # use_bias_attn_module alone is numerically inert by design: the
+    # reference (encoder_decoder.py:551-556) then builds
+    # BiasedMultiheadAttention with bias_attn=False — same math as plain
+    # MHA, different checkpoint layout (separate q/k/v projections). Our
+    # converter auto-detects both layouts (convert.py), so this knob only
+    # records which layout a reference checkpoint used. The hop-bias MLP
+    # and biased logits are controlled solely by attn_bias, as upstream.
     use_bias_attn_module: bool = False
     max_hops: int = 4
     model_freeze: Optional[str] = None  # None | 'skeleton' | 'prediction'
@@ -140,12 +147,35 @@ class Config:
             json.dump(dataclasses.asdict(self), f, indent=2, default=str)
 
 
+def _coerce(obj: Any, field: str, value: Any) -> Any:
+    """Validate an override value against the declared field type so a typo
+    like use_udp=notabool errors instead of silently storing a truthy
+    string in a bool field."""
+    current = getattr(obj, field)
+    if isinstance(current, bool):
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str) and value.lower() in ("true", "false"):
+            return value.lower() == "true"
+        raise ValueError(f"config field {field!r} is a bool; got {value!r} "
+                         "(use true/false)")
+    if isinstance(current, int) and not isinstance(current, bool) \
+            and isinstance(value, str):
+        raise ValueError(f"config field {field!r} is an int; got {value!r}")
+    if isinstance(current, float):
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return float(value)
+        raise ValueError(f"config field {field!r} is a float; got {value!r}")
+    return value
+
+
 def _replace_path(obj: Any, parts: list[str], value: Any) -> Any:
     if len(parts) == 1:
         if not hasattr(obj, parts[0]):
             raise KeyError(f"unknown config field {parts[0]!r} on "
                            f"{type(obj).__name__}")
-        return dataclasses.replace(obj, **{parts[0]: value})
+        return dataclasses.replace(obj, **{parts[0]: _coerce(obj, parts[0],
+                                                             value)})
     child = getattr(obj, parts[0])
     return dataclasses.replace(
         obj, **{parts[0]: _replace_path(child, parts[1:], value)})

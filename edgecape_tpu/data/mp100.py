@@ -332,14 +332,23 @@ class MP100Dataset:
                 rot = float(rec.get("rotation", 0))
                 if augment and rng is not None:
                     scale, rot = random_scale_rotation(scale, cfg, rng)
-                mat = affine.get_affine_transform(center, scale, rot,
-                                                  (size, size))
                 joints = np.asarray(rec["joints_3d"], np.float32)[:, :2]
                 vis = (np.asarray(rec["joints_3d_visible"],
                                   np.float32)[:, 0] > 0).astype(np.float32)
-                jt = joints.copy()
-                m = vis > 0
-                jt[m] = affine.affine_transform_points(joints[m], mat)
+                if cfg.use_udp:
+                    # UDP path (pipeline.preprocess use_udp branch):
+                    # half-pixel-aligned warp, ALL joints transformed
+                    mat = affine.get_warp_matrix_udp(
+                        rot, center, (size - 1.0, size - 1.0),
+                        scale * 200.0)
+                    jt = affine.affine_transform_points(joints, mat).astype(
+                        np.float32)
+                else:
+                    mat = affine.get_affine_transform(center, scale, rot,
+                                                      (size, size))
+                    jt = joints.copy()
+                    m = vis > 0
+                    jt[m] = affine.affine_transform_points(joints[m], mat)
                 images.append(img)
                 inv_mats.append(invert_affine(mat))
                 all_joints.append(jt)
@@ -350,7 +359,9 @@ class MP100Dataset:
         warped = native_lib.warp_normalize_batch(
             images, np.stack(inv_mats).astype(np.float32), (size, size),
             IMAGENET_MEAN, IMAGENET_STD, num_threads)
-        targets, weights = native_lib.msra_heatmaps_batch(
+        render = (native_lib.udp_heatmaps_batch if cfg.use_udp
+                  else native_lib.msra_heatmaps_batch)
+        targets, weights = render(
             np.stack(all_joints), np.stack(all_vis),
             (cfg.heatmap_size, cfg.heatmap_size), (float(size), float(size)),
             cfg.sigma, num_threads)

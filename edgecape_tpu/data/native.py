@@ -43,7 +43,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int]
-            lib.msra_heatmaps_batch.argtypes = [
+            heatmap_sig = [
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
@@ -51,6 +51,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_float, ctypes.c_float, ctypes.c_float,
                 ctypes.c_int]
+            lib.msra_heatmaps_batch.argtypes = heatmap_sig
+            lib.udp_heatmaps_batch.argtypes = heatmap_sig
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -115,6 +117,30 @@ def msra_heatmaps_batch(joints: np.ndarray, visible: np.ndarray,
     if num_threads <= 0:
         num_threads = min(os.cpu_count() or 1, n)
     lib.msra_heatmaps_batch(
+        _fptr(joints), _fptr(visible), _fptr(target), _fptr(weight),
+        n, k, hh, hw, float(image_hw[0]), float(image_hw[1]), float(sigma),
+        num_threads)
+    return target, weight
+
+
+def udp_heatmaps_batch(joints: np.ndarray, visible: np.ndarray,
+                       heatmap_hw: tuple[int, int],
+                       image_hw: tuple[float, float], sigma: float,
+                       num_threads: int = 0):
+    """UDP (unbiased-data-processing) variant of msra_heatmaps_batch:
+    continuous sub-pixel gaussian center, stride (img-1)/(hm-1). Same
+    shapes and semantics as ops/heatmap.render_udp."""
+    lib = _load()
+    assert lib is not None, "native preprocessing library unavailable"
+    joints = np.ascontiguousarray(joints, np.float32)
+    visible = np.ascontiguousarray(visible, np.float32)
+    n, k = joints.shape[:2]
+    hh, hw = heatmap_hw
+    target = np.empty((n, k, hh, hw), np.float32)
+    weight = np.empty((n, k), np.float32)
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, n)
+    lib.udp_heatmaps_batch(
         _fptr(joints), _fptr(visible), _fptr(target), _fptr(weight),
         n, k, hh, hw, float(image_hw[0]), float(image_hw[1]), float(sigma),
         num_threads)

@@ -27,6 +27,12 @@ xavier = nn.initializers.xavier_uniform
 zeros_init = nn.initializers.zeros
 
 
+def lnorm(name: str):
+    """LayerNorm with torch's eps (1e-5, not flax's 1e-6) — keeps converted
+    reference checkpoints bit-faithful through the many post-norms."""
+    return nn.LayerNorm(epsilon=1e-5, name=name)
+
+
 def dense(feats: int, name: str):
     return nn.Dense(feats, kernel_init=xavier(), bias_init=zeros_init,
                     name=name)
@@ -131,12 +137,12 @@ class EncoderLayer(nn.Module):
                                  name="self_attn")(
             src, src, src, key_valid=key_valid, train=train)
         x = src + nn.Dropout(self.dropout, deterministic=not train)(att)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = lnorm("norm1")(x)
         f = dense(self.dim_feedforward, "linear1")(x)
         f = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(f))
         f = dense(self.d_model, "linear2")(f)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(f)
-        return nn.LayerNorm(name="norm2")(x)
+        return lnorm("norm2")(x)
 
 
 class ProposalGenerator(nn.Module):
@@ -216,7 +222,7 @@ class DecoderLayer(nn.Module):
             kp_tokens, kp_tokens, kp_tokens, key_valid=kp_valid, bias=bias,
             train=train)
         x = kp_tokens + drop(att)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = lnorm("norm1")(x)
 
         # (2) cross-attention with concatenated positional embedding
         q = jnp.concatenate([x, kp_query_pos], axis=-1)
@@ -227,13 +233,13 @@ class DecoderLayer(nn.Module):
             q, k, img_tokens, train=train)
         att = dense(self.d_model, "choker")(att)
         x = x + drop(att)
-        x = nn.LayerNorm(name="norm2")(x)
+        x = lnorm("norm2")(x)
 
         # (3) GCN feed-forward
         f = GCNLayer(self.dim_feedforward, name="gcn")(x, adj)
         f = dense(self.d_model, "ffn2")(drop(f))
         x = x + drop(f)
-        x = nn.LayerNorm(name="norm3")(x)
+        x = lnorm("norm3")(x)
 
         # (4) two-way: image tokens attend back to keypoint tokens
         if self.two_way_attn:
@@ -246,7 +252,7 @@ class DecoderLayer(nn.Module):
                 q2, k2, x, train=train)
             att2 = dense(self.d_model, "two_way_choker")(att2)
             img_tokens = img_tokens + drop(att2)
-            img_tokens = nn.LayerNorm(name="norm4")(img_tokens)
+            img_tokens = lnorm("norm4")(img_tokens)
 
         return x, img_tokens
 
@@ -303,7 +309,7 @@ class Decoder(nn.Module):
                          max_hops=self.max_hops, use_flash=self.use_flash,
                          name=f"layer{i}")
             for i in range(self.num_layers)]
-        self.norm = nn.LayerNorm(name="norm")
+        self.norm = lnorm("norm")
         self.ref_point_head = RefPointHead(self.d_model)
         self.kpt_branches = [KptBranch(self.d_model, name=f"kpt_branch{i}")
                              for i in range(self.num_layers)]

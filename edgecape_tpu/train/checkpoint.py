@@ -56,11 +56,17 @@ def latest_checkpoint(work_dir: str) -> Optional[str]:
 
 def best_checkpoint(work_dir: str) -> Optional[str]:
     """Reference get_best_model (run.py:22-30): best_* if present, else
-    latest."""
+    latest. Names are sorted by their numeric epoch (best_PCK_epoch_75 >
+    best_PCK_epoch_9), not lexicographically."""
+    def epoch_of(name: str) -> int:
+        m = re.search(r"(\d+)$", name)
+        return int(m.group(1)) if m else -1
+
     if os.path.isdir(work_dir):
         names = [n for n in os.listdir(work_dir) if n.startswith("best_")]
         if names:
-            return os.path.join(work_dir, sorted(names)[-1])
+            names.sort(key=epoch_of)
+            return os.path.join(work_dir, names[-1])
     return latest_checkpoint(work_dir)
 
 

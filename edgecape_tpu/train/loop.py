@@ -182,6 +182,7 @@ class Trainer:
                                 step=jnp.zeros((), jnp.int32))
         self.start_epoch = 0
         self.best_pck = -1.0
+        self._eval_estimator = None
 
         # auto-resume (train.py:104-108)
         latest = None if cfg.resume_from else ckpt_lib.latest_checkpoint(
@@ -241,8 +242,15 @@ class Trainer:
     def _evaluate(self) -> float:
         from ..api import PoseEstimator
         from ..eval.runner import run_eval
-        est = PoseEstimator(self.cfg, backbone_params=self.backbone_params,
-                            head_params=self.state.params, mesh=None)
+        # Build the estimator once and swap the live params in on each
+        # eval: the jitted forward closes over nothing, so reusing the
+        # instance reuses its compilation cache across eval intervals.
+        if self._eval_estimator is None:
+            self._eval_estimator = PoseEstimator(
+                self.cfg, backbone_params=self.backbone_params,
+                head_params=self.state.params, mesh=None)
+        est = self._eval_estimator
+        est.head_params = self.state.params
         res = run_eval(self.val_ds, est,
                        batch_size=max(self.cfg.train.batch_size, 1),
                        res_folder=self.cfg.work_dir, progress=False,
@@ -266,7 +274,7 @@ class Trainer:
 
         for epoch in range(self.start_epoch, cfg.train.total_epochs):
             t0 = time.time()
-            agg, n_it = {}, 0
+            agg, n_agg, n_it = {}, 0, 0
             for batch in loader.epoch():
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(
@@ -277,6 +285,7 @@ class Trainer:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     for k, v in metrics.items():
                         agg[k] = agg.get(k, 0.0) + v
+                    n_agg += 1
                     self.log(f"epoch {epoch} it {n_it}/"
                              f"{self.steps_per_epoch} "
                              + " ".join(f"{k}={v:.4f}"
@@ -287,6 +296,9 @@ class Trainer:
 
             entry = {"epoch": epoch, "time": round(time.time() - t0, 2),
                      "lr": float(self.sched(int(self.state.step)))}
+            if n_agg:  # epoch-mean of the sampled train metrics
+                entry.update({f"train_{k}": round(v / n_agg, 6)
+                              for k, v in sorted(agg.items())})
             if self.val_ds is not None and \
                     (epoch + 1) % cfg.train.eval_interval == 0:
                 pck = self._evaluate()

@@ -162,4 +162,53 @@ void msra_heatmaps_batch(const float* joints, const float* visible,
   });
 }
 
+// Batch UDP gaussian heatmap rendering (reference unbiased-data-processing
+// semantics, top_down_transform.py:244-286): continuous sub-pixel gaussian
+// center with stride (img-1)/(hm-1); truncation window and the
+// out-of-bounds check anchored at the snapped integer center, like MSRA.
+void udp_heatmaps_batch(const float* joints, const float* visible,
+                        float* target, float* weight, int n, int k,
+                        int hm_h, int hm_w, float img_h, float img_w,
+                        float sigma, int num_threads) {
+  const float stride_x = (img_w - 1.f) / static_cast<float>(hm_w - 1);
+  const float stride_y = (img_h - 1.f) / static_cast<float>(hm_h - 1);
+  const float tmp_f = sigma * 3.f;
+  const int tmp = static_cast<int>(tmp_f);
+  const float inv_two_sigma2 = 1.f / (2.f * sigma * sigma);
+  parallel_for(n, num_threads, [&](int i) {
+    for (int j = 0; j < k; ++j) {
+      const size_t base = (static_cast<size_t>(i) * k + j);
+      float* tgt = target + base * hm_h * hm_w;
+      std::memset(tgt, 0, sizeof(float) * hm_h * hm_w);
+      const float vx = visible[base];
+      const float cx = joints[base * 2 + 0] / stride_x;  // continuous
+      const float cy = joints[base * 2 + 1] / stride_y;
+      // trunc(c + 0.5) like python int(): snapped center for window/bounds
+      const int mu_x = static_cast<int>(cx + 0.5f);
+      const int mu_y = static_cast<int>(cy + 0.5f);
+      const bool oob = (mu_x - tmp >= hm_w) || (mu_y - tmp >= hm_h) ||
+                       (mu_x + tmp + 1 < 0) || (mu_y + tmp + 1 < 0);
+      const float w = oob ? 0.f : vx;
+      weight[base] = w;
+      if (w <= 0.5f) continue;
+      // window: offset in [-tmp_f, tmp_f + 1) — asymmetric when 3*sigma
+      // is fractional, matching ops/heatmap.render_udp exactly
+      const int lo_off = -static_cast<int>(std::floor(tmp_f));
+      const int hi_off = static_cast<int>(std::ceil(tmp_f + 1.f)) - 1;
+      const int y_lo = std::max(0, mu_y + lo_off);
+      const int y_hi = std::min(hm_h - 1, mu_y + hi_off);
+      const int x_lo = std::max(0, mu_x + lo_off);
+      const int x_hi = std::min(hm_w - 1, mu_x + hi_off);
+      for (int y = y_lo; y <= y_hi; ++y) {
+        const float dy = static_cast<float>(y) - cy;
+        float* row = tgt + static_cast<size_t>(y) * hm_w;
+        for (int x = x_lo; x <= x_hi; ++x) {
+          const float dx = static_cast<float>(x) - cx;
+          row[x] = std::exp(-(dx * dx + dy * dy) * inv_two_sigma2);
+        }
+      }
+    }
+  });
+}
+
 }  // extern "C"

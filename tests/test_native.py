@@ -60,6 +60,48 @@ def test_native_heatmaps_match_numpy():
             np.testing.assert_allclose(tgt[i], ref_t, atol=1e-5)
 
 
+def test_native_udp_heatmaps_match_numpy():
+    rng = np.random.default_rng(2)
+    n, k = 4, 20
+    joints = rng.uniform(-20, 250, size=(n, k, 2)).astype(np.float32)
+    vis = (rng.uniform(size=(n, k)) > 0.3).astype(np.float32)
+    for sigma in (1.0, 2.0, 2.5):  # 2.5 exercises the fractional window
+        tgt, wgt = native.udp_heatmaps_batch(joints, vis, (64, 64),
+                                             (224.0, 224.0), sigma)
+        for i in range(n):
+            ref_t, ref_w = heatmap.render_udp(joints[i], vis[i], (64, 64),
+                                              (224, 224), sigma)
+            np.testing.assert_allclose(wgt[i], ref_w[:, 0])
+            np.testing.assert_allclose(tgt[i], ref_t, atol=1e-5)
+
+
+def test_collate_native_udp_matches_python(tmp_path):
+    """Regression: collate_native used to silently ignore use_udp=True
+    (always MSRA + standard affine)."""
+    import os
+
+    from edgecape_tpu.config import DataConfig
+    from edgecape_tpu.data import synthetic
+    from edgecape_tpu.data.mp100 import MP100Dataset
+
+    ann = synthetic.generate(str(tmp_path), num_classes=2,
+                             images_per_class=6, image_size=128, seed=5)
+    cfg = DataConfig(ann_file=ann,
+                     img_prefix=os.path.join(str(tmp_path), "images"),
+                     num_shots=1, num_queries=2, num_episodes=1,
+                     image_size=56, heatmap_size=16, max_kpt=16, sigma=1.0,
+                     use_udp=True)
+    ds = MP100Dataset(cfg, mode="test")
+    idx = [0, 1, 2]
+    ref = ds.collate(idx)
+    fast = ds.collate_native(idx)
+    assert np.abs(fast.img_q - ref.img_q).max() < 0.1
+    np.testing.assert_allclose(fast.target_q, ref.target_q, atol=1e-5)
+    np.testing.assert_array_equal(fast.weight_q, ref.weight_q)
+    np.testing.assert_allclose(fast.joints_q, ref.joints_q, atol=1e-3)
+    np.testing.assert_allclose(fast.target_s, ref.target_s, atol=1e-5)
+
+
 def test_collate_native_matches_python(tmp_path):
     from edgecape_tpu.config import DataConfig
     from edgecape_tpu.data import synthetic

@@ -154,3 +154,14 @@ def test_fit_one_epoch_with_resume(synth, tmp_path):
                   log_fn=lambda *a: None)
     assert tr2.start_epoch == 1
     tr2.fit()
+
+
+def test_best_checkpoint_numeric_epoch_sort(tmp_path):
+    """Regression: best_* names must sort by epoch number, not
+    lexicographically (best_PCK_epoch_9 used to beat best_PCK_epoch_75)."""
+    from edgecape_tpu.train import checkpoint as ck
+
+    for name in ("best_PCK_epoch_9", "best_PCK_epoch_75",
+                 "best_PCK_epoch_120"):
+        (tmp_path / name).mkdir()
+    assert ck.best_checkpoint(str(tmp_path)).endswith("best_PCK_epoch_120")
