@@ -19,6 +19,25 @@ def _bilinear_matrix(src: int, dst: int) -> jnp.ndarray:
                             method="linear")
 
 
+def _torch_bilinear_matrix(src: int, dst: int) -> jnp.ndarray:
+    """[dst, src] matrix of F.interpolate(..., 'bilinear',
+    align_corners=False) along one axis. Unlike jax.image.resize, torch
+    does NOT anti-alias when downsampling — each output sample is a 2-tap
+    interpolation at (i+0.5)*src/dst - 0.5 (clamped at 0), which this
+    reproduces exactly (needed for heatmap-loss parity with reference
+    head.py:285-287)."""
+    import numpy as np
+    scale = src / dst
+    x = np.maximum((np.arange(dst) + 0.5) * scale - 0.5, 0.0)
+    lo = np.minimum(np.floor(x).astype(np.int64), src - 1)
+    hi = np.minimum(lo + 1, src - 1)
+    w = (x - lo).astype(np.float32)
+    m = np.zeros((dst, src), np.float32)
+    m[np.arange(dst), lo] += 1.0 - w
+    m[np.arange(dst), hi] += w
+    return jnp.asarray(m)
+
+
 def pool_support_keypoints(support_feats: jnp.ndarray,
                            support_heatmaps: jnp.ndarray) -> jnp.ndarray:
     """Heatmap-weighted pooling of support features per keypoint.
@@ -79,7 +98,11 @@ def heatmap_mse_loss(similarity: jnp.ndarray, target_heatmap: jnp.ndarray,
     """
     b, k, h, w = similarity.shape
     sim = jax.nn.sigmoid(similarity)
-    tgt = jax.image.resize(target_heatmap, (b, k, h, w), method="linear")
+    hh, hw = target_heatmap.shape[-2:]
+    my = _torch_bilinear_matrix(hh, h)
+    mx = _torch_bilinear_matrix(hw, w)
+    tgt = jnp.einsum("yY,bkYX,xX->bkyx", my, target_heatmap, mx,
+                     preferred_element_type=jnp.float32)
     peak = tgt.max(axis=(-2, -1), keepdims=True)
     tgt = tgt / (peak + 1e-10)
     l2 = ((sim - tgt) ** 2) * weight[:, :, None, None]

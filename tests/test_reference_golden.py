@@ -1,0 +1,245 @@
+"""Executable-reference goldens: run the ACTUAL reference model code
+(/root/reference/EdgeCape/models/keypoint_heads/{encoder_decoder,skeleton,
+head}.py, imported via tests/reference_shim.py) on random weights, map the
+torch state_dict through models/convert.py, and assert our flax head
+produces the same outputs.
+
+This is the strongest offline parity instrument: a shared misunderstanding
+between our model and a hand-written test oracle cannot pass here, because
+the oracle IS the reference source.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from edgecape_tpu.config import ModelConfig  # noqa: E402
+from edgecape_tpu.models import convert  # noqa: E402
+from edgecape_tpu.models.edgecape import init_model  # noqa: E402
+from edgecape_tpu.ops import graph  # noqa: E402
+from reference_shim import build_reference_head, load_reference  # noqa: E402
+
+B, S, K, G, HM, CB = 2, 2, 8, 4, 16, 384
+
+SKELETONS = [
+    [[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 6], [0, 7]],
+    [[0, 1], [0, 2], [2, 3], [2, 4], [4, 5]],
+]
+
+
+def _cfg(**kw):
+    return ModelConfig(image_size=G * 14, heatmap_size=HM, max_kpt=K, **kw)
+
+
+def _inputs(seed=0):
+    """Shared random episode; returns (torch-side dict, jax-side dict)."""
+    rng = np.random.default_rng(seed)
+    feat_q = rng.normal(size=(B, CB, G, G)).astype(np.float32)
+    feat_s = rng.normal(size=(S, B, CB, G, G)).astype(np.float32)
+    # plausible heatmaps: nonnegative with sparse peaks
+    target_s = np.clip(
+        rng.normal(size=(S, B, K, HM, HM)), 0, None).astype(np.float32) ** 2
+    mask = np.ones((B, K), np.float32)
+    mask[0, 6:] = 0.0   # some invisible keypoints
+    mask[1, 3] = 0.0
+    target_s *= mask[None, :, :, None, None]
+
+    t = {
+        "feature_q": torch.from_numpy(feat_q),
+        "feature_s": [torch.from_numpy(f) for f in feat_s],
+        "target_s": [torch.from_numpy(t_) for t_ in target_s],
+        "mask_s": torch.from_numpy(mask)[..., None],
+        "skeleton": SKELETONS,
+    }
+    binary_adj = np.stack([
+        graph.adjacency_from_edges(sk, K) for sk in SKELETONS])
+    j = {
+        "feat_q": jnp.asarray(feat_q.transpose(0, 2, 3, 1)),
+        "feat_s": jnp.asarray(feat_s.transpose(1, 0, 3, 4, 2)),
+        "target_s": jnp.asarray(target_s.transpose(1, 0, 2, 3, 4)),
+        "mask_s": jnp.asarray(mask),
+        "binary_adj": jnp.asarray(binary_adj),
+    }
+    return t, j
+
+
+def _ours(cfg, sd, j):
+    model, params0 = init_model(__import__("jax").random.PRNGKey(0), cfg,
+                                batch=B, shots=S)
+    params = convert.convert_head(sd, cfg)
+    # structural check: every param our model creates must be supplied by
+    # the converter. (The converse doesn't hold at stage 1: the reference
+    # materializes skeleton-refiner modules even when learn_skeleton=False,
+    # so the converted tree may carry extras flax never reads.)
+    flat0 = {"/".join(p) for p, _ in _flatten(params0)}
+    flatc = {"/".join(p) for p, _ in _flatten(params)}
+    assert flat0 <= flatc, sorted(flat0 - flatc)[:10]
+    out = model.apply({"params": params}, j["feat_q"], j["feat_s"],
+                      j["target_s"], j["mask_s"], j["binary_adj"],
+                      train=False)
+    return out
+
+
+def _flatten(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten(v, path + (k,))
+    else:
+        yield path, tree
+
+
+def _run_reference(ref_head, t):
+    with torch.no_grad():
+        outputs, initial_proposals, similarity_map, recon, adj = ref_head(
+            t["feature_q"], t["feature_s"], t["target_s"], t["mask_s"],
+            t["skeleton"])
+    return (outputs.numpy(), initial_proposals.numpy(),
+            similarity_map.numpy(), adj.numpy())
+
+
+@pytest.mark.parametrize("stage", ["base", "skeleton_bias"])
+def test_full_head_forward_matches_reference(stage):
+    """Full TwoStageHead.forward parity: encoder, proposal generator,
+    skeleton predictor, decoder w/ GCN-FFN (+Markov bias at stage 3), and
+    the per-layer kpt-branch recompute — reference code as the oracle."""
+    learn = stage == "skeleton_bias"
+    cfg = _cfg(learn_skeleton=learn, attn_bias=learn,
+               use_bias_attn_module=learn)
+    ref_head, sd = build_reference_head(cfg, learn_skeleton=learn,
+                                        attn_bias=learn, seed=7)
+    t, j = _inputs(seed=3)
+    ref_out, ref_prop, ref_sim, ref_adj = _run_reference(ref_head, t)
+
+    out = _ours(cfg, sd, j)
+    got_out = np.asarray(out.outputs)
+    got_prop = np.asarray(out.encode.proposals_for_loss)
+    got_sim = np.asarray(out.encode.similarity)
+    got_adj = np.asarray(out.encode.adj)
+
+    np.testing.assert_allclose(got_sim, ref_sim, atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_prop, ref_prop, atol=1e-4)
+    np.testing.assert_allclose(got_adj, ref_adj, atol=1e-4)
+    np.testing.assert_allclose(got_out, ref_out, atol=5e-4)
+
+
+def test_sine_coordinate_embedding_matches_reference():
+    """ops/pos_enc.sine_coords vs the reference SinePositionalEncoding
+    .forward_coordinates (positional_encoding.py:96-123)."""
+    from edgecape_tpu.ops import pos_enc
+    ref = load_reference()
+    pe = ref.SinePositionalEncoding(num_feats=128, normalize=True)
+    coords = np.random.default_rng(0).uniform(0, 1, (B, K, 2)).astype(
+        np.float32)
+    want = pe.forward_coordinates(torch.from_numpy(coords)).numpy()
+    got = np.asarray(pos_enc.sine_coords(jnp.asarray(coords), 128))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sine_grid_matches_reference():
+    """ops/pos_enc.sine_grid vs the reference SinePositionalEncoding
+    .forward (mask-cumsum form)."""
+    from edgecape_tpu.ops import pos_enc
+    ref = load_reference()
+    pe = ref.SinePositionalEncoding(num_feats=128, normalize=True)
+    mask = torch.zeros((1, G, G), dtype=torch.bool)
+    want = pe(mask).numpy()[0].transpose(1, 2, 0)          # [gh, gw, C]
+    got = np.asarray(pos_enc.sine_grid(G, G, 128))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_get_loss_matches_reference():
+    """Loss parity: reference TwoStageHead.get_loss (head.py:224-295) vs
+    ops in models/head.py, on the same synthetic predictions."""
+    from edgecape_tpu.models.head import keypoint_losses
+
+    cfg = _cfg(learn_skeleton=True, with_heatmap_loss=True)
+    ref_head, _ = build_reference_head(cfg, learn_skeleton=True, seed=2)
+    ref_head.learn_skeleton = True
+    ref_head.with_heatmap_loss = True
+
+    rng = np.random.default_rng(9)
+    L, H = 3, G
+    output = rng.uniform(0, 1, (L, B, K, 2)).astype(np.float32)
+    proposals = rng.uniform(0, 1, (B, K, 2)).astype(np.float32)
+    sim = rng.normal(size=(B, K, H, H)).astype(np.float32)
+    target_abs = rng.uniform(0, 224, (B, K, 2)).astype(np.float32)
+    target_hm = np.clip(rng.normal(size=(B, K, HM, HM)), 0,
+                        None).astype(np.float32)
+    weight = np.ones((B, K, 1), np.float32)
+    weight[0, 5:] = 0.0
+    sizes = np.full((B, 1, 2), 224.0, np.float32)
+    recon = rng.uniform(0, 1, (B, K, 2)).astype(np.float32)
+
+    want = ref_head.get_loss(
+        torch.from_numpy(output), torch.from_numpy(proposals),
+        torch.from_numpy(sim), torch.from_numpy(target_abs),
+        torch.from_numpy(target_hm), torch.from_numpy(weight),
+        torch.from_numpy(sizes), torch.from_numpy(recon))
+
+    got = keypoint_losses(
+        jnp.asarray(output), jnp.asarray(target_abs / 224.0),
+        jnp.asarray(weight[..., 0]),
+        proposals_for_loss=jnp.asarray(proposals),
+        recon=jnp.asarray(recon), skeleton_loss_weight=1.0,
+        similarity=jnp.asarray(sim), target_heatmap=jnp.asarray(target_hm),
+        with_heatmap_loss=True, heatmap_loss_weight=2.0)
+
+    for name in ("adj_reconstruct_loss", "proposal_loss", "heatmap_loss",
+                 "l1_loss_layer0", "l1_loss_layer1", "l1_loss_layer2"):
+        np.testing.assert_allclose(float(got[name]),
+                                   float(want[name]), rtol=1e-5,
+                                   err_msg=name)
+
+
+def test_masked_reconstruction_branch_matches_reference():
+    """Stage-2 masked-supervision branch: the reference decoder re-run on
+    mask-token-substituted keypoint tokens (encoder_decoder.py:212-237) vs
+    our mask_tokens + decode composition."""
+    import jax
+
+    cfg = _cfg(learn_skeleton=True, attn_bias=False,
+               masked_supervision=True)
+    ref_head, sd = build_reference_head(cfg, learn_skeleton=True,
+                                        attn_bias=False,
+                                        masked_supervision=True, seed=11)
+    t, j = _inputs(seed=5)
+
+    rand_mask = np.ones((B, K), np.float32)
+    rand_mask[:, 1] = 0.0
+    rand_mask[0, 4] = 0.0
+
+    # reference: masked branch only runs in train mode; put the dropout
+    # modules in eval while keeping module.training True for the decoder
+    # gate (mirrors what an eval-style golden needs)
+    ref_head.train()
+    for m in ref_head.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+        if m.__class__.__name__ == "FairseqDropout":
+            m.eval()
+    with torch.no_grad():
+        _, _, _, recon, _ = ref_head(
+            t["feature_q"], t["feature_s"], t["target_s"], t["mask_s"],
+            t["skeleton"], random_mask=torch.from_numpy(rand_mask)[..., None])
+    ref_head.eval()
+
+    model, _ = init_model(jax.random.PRNGKey(0), cfg, batch=B, shots=S)
+    params = convert.convert_head(sd, cfg)
+
+    def recon_fn(params):
+        def inner(mdl):
+            enc = mdl.encode(j["feat_q"], j["feat_s"], j["target_s"],
+                             j["mask_s"], j["binary_adj"], train=False)
+            masked = mdl.mask_tokens(enc.kp_tokens, jnp.asarray(rand_mask),
+                                     enc.kp_valid)
+            _, points = mdl.decode(masked, enc.img_tokens, enc.proposals,
+                                   enc.adj, enc.hop_stack, enc.kp_valid,
+                                   enc.img_pos, train=False)
+            return points[-1]
+        return model.apply({"params": params}, method=lambda m: inner(m))
+
+    got = np.asarray(recon_fn(params))
+    np.testing.assert_allclose(got, recon.numpy(), atol=5e-4)
