@@ -27,8 +27,78 @@ BASELINE_IMG_PER_SEC = 300000 / 1800.0  # reference: 30 min on 1 GPU
 QUERIES_PER_EPISODE = 15                # test protocol
 
 
+def bench_train(mcfg, iters: int = 10, warmup: int = 3,
+                batch_size: int = 16, shots: int = 1):
+    """Training-step benchmark at the reference recipe (bs 16/GPU,
+    224px crops, stage-2/3 model: learned skeleton + masked supervision +
+    Markov bias; configs/train/1shot_split1.py:13-26,135). Returns
+    (ms/step, episodes/sec)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from edgecape_tpu.config import Config, TrainConfig
+    from edgecape_tpu.models import dinov2
+    from edgecape_tpu.models.edgecape import EdgeCape
+    from edgecape_tpu.train.loop import TrainState, make_train_step
+    from edgecape_tpu.train.state import make_optimizer
+
+    mcfg = dataclasses.replace(mcfg, masked_supervision=True)
+    cfg = Config(model=mcfg, train=TrainConfig(batch_size=batch_size,
+                                               warmup_iters=10))
+    model = EdgeCape(mcfg)
+    bb = jax.jit(lambda r: dinov2.init_params(
+        r, image_size=mcfg.image_size))(jax.random.PRNGKey(0))
+    g = mcfg.image_size // mcfg.patch_size
+    k, hs = mcfg.max_kpt, mcfg.heatmap_size
+    init = jax.jit(lambda r: model.init(
+        {"params": r, "dropout": jax.random.PRNGKey(0)},
+        jnp.zeros((1, g, g, mcfg.backbone_dim)),
+        jnp.zeros((1, shots, g, g, mcfg.backbone_dim)),
+        jnp.zeros((1, shots, k, hs, hs)), jnp.zeros((1, k)),
+        jnp.zeros((1, k, k))))
+    params = init(jax.random.PRNGKey(1))["params"]
+    tx, _ = make_optimizer(cfg.train, 100, params, None)
+    step = jax.jit(make_train_step(model, tx, cfg, dinov2.VIT_S14),
+                   donate_argnums=(0,))
+
+    b, size = batch_size, mcfg.image_size
+    rng = np.random.default_rng(0)
+    batch = {
+        "img_s": rng.normal(size=(b, shots, size, size, 3)).astype(
+            np.float32),
+        "img_q": rng.normal(size=(b, size, size, 3)).astype(np.float32),
+        "joints_s": rng.uniform(10, size - 10,
+                                size=(b, shots, k, 2)).astype(np.float32),
+        "vis_s": np.ones((b, shots, k), np.float32),
+        "target_q": rng.uniform(size=(b, k, hs, hs)).astype(np.float32),
+        "weight_q": np.ones((b, k), np.float32),
+        "joints_q": rng.uniform(0, size, size=(b, k, 2)).astype(np.float32),
+        "binary_adj": np.tile(np.eye(k, k=1, dtype=np.float32)
+                              + np.eye(k, k=-1, dtype=np.float32),
+                              (b, 1, 1)),
+        "rand_mask": (rng.uniform(size=(b, k)) > 0.3).astype(np.float32),
+    }
+    import jax.numpy as jnp  # noqa: F811
+    batch = {kk: jnp.asarray(v) for kk, v in batch.items()}
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    key = jax.random.PRNGKey(0)
+    for _ in range(warmup):
+        state, metrics = step(state, bb, batch, key)
+        float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, bb, batch, key)
+        float(metrics["loss"])   # host sync each step (honest timing)
+    dt = time.perf_counter() - t0
+    ms_per_step = dt / iters * 1000.0
+    return ms_per_step, b * iters / dt
+
+
 def main(groups: int = 34, iters: int = 10, warmup: int = 2,
-         shots: int = 1):
+         shots: int = 1, with_train: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -89,12 +159,19 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
     img_per_sec = nq * iters / best_dt
     n_chips = max(jax.device_count(), 1)
     per_chip = img_per_sec / n_chips
-    print(json.dumps({
+    out = {
         "metric": "mp100_1shot_eval_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+    if with_train:
+        # driver-visible training benchmark (one JSON line total: the
+        # train numbers ride as extra keys on the eval metric object)
+        ms, eps = bench_train(mcfg, shots=shots)
+        out["train_ms_per_step"] = round(ms, 2)
+        out["train_episodes_per_sec"] = round(eps, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
@@ -104,4 +181,5 @@ if __name__ == "__main__":
             groups = int(a.split("=")[1])
         if a.startswith("--shots="):
             shots = int(a.split("=")[1])
-    main(groups=groups, shots=shots)
+    main(groups=groups, shots=shots,
+         with_train="--no-train" not in sys.argv)

@@ -34,23 +34,11 @@ def square_pad_resize(img: np.ndarray, size: int):
     return out, size / side
 
 
-def _encode_args(est, batch):
-    import jax.numpy as jnp
-    from edgecape_tpu.models import dinov2
-    imgs = jnp.concatenate(
-        [jnp.asarray(batch.img_s[:, 0]), jnp.asarray(batch.img_q)], axis=0)
-    feats = dinov2.extract_features(est.backbone_params, imgs)
-    feat_s = feats[:1][:, None]
-    feat_q = feats[1:]
-    mask_s = jnp.asarray(batch.weight_s.prod(axis=1))
-    return (feat_q, feat_s, jnp.asarray(batch.target_s), mask_s,
-            jnp.asarray(batch.binary_adj))
-
-
 def run_inference(support_img: np.ndarray, query_img: np.ndarray,
                   annotation: dict, *, checkpoint=None, backbone_ckpt=None,
                   size: int = 256, out_dir: str = "demo_out",
-                  plot_similarity: bool = False):
+                  plot_similarity: bool = False,
+                  plot_attention: bool = False):
     """Core inference used by both the CLI and the gradio app. Images are
     RGB uint8 arrays; annotation holds original-pixel keypoints +
     skeleton. Returns the visualization file path."""
@@ -110,14 +98,18 @@ def run_inference(support_img: np.ndarray, query_img: np.ndarray,
     pred_norm, raw_adj, _ = est.forward_batch(batch)
     pred_px = np.asarray(pred_norm)[0] * size
 
-    if plot_similarity:
-        from edgecape_tpu.utils.visualization import plot_similarity_maps
-        enc = est.model.apply(
-            {"params": est.head_params},
-            # re-run encode to grab the similarity map for debug rendering
-            *_encode_args(est, batch), method=type(est.model).encode)
-        plot_similarity_maps(norm(qry), np.asarray(enc.similarity)[0],
-                             list(range(min(k_real, 6))), out_dir)
+    if plot_similarity or plot_attention:
+        kis = list(range(min(k_real, 6)))
+        _, _, similarity, attn = est.forward_debug(batch)
+        if plot_similarity:
+            from edgecape_tpu.utils.visualization import plot_similarity_maps
+            plot_similarity_maps(norm(qry), np.asarray(similarity)[0],
+                                 kis, out_dir)
+        if plot_attention:
+            from edgecape_tpu.utils.visualization import plot_attn
+            plot_attn(norm(qry), np.asarray(attn)[:, 0], kis, out_dir,
+                      gt_adj=adj[:k_real, :k_real],
+                      learned_adj=np.asarray(raw_adj)[0][:k_real, :k_real])
     return plot_results(norm(sup), norm(qry), joints[:k_real],
                         visible[:k_real], pred_px[:k_real], skeleton,
                         np.asarray(raw_adj)[0][:k_real, :k_real], out_dir)
@@ -135,6 +127,8 @@ def main():
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--plot-similarity", action="store_true",
                    help="also render per-keypoint similarity maps")
+    p.add_argument("--plot-attn", action="store_true",
+                   help="also render per-layer decoder attention maps")
     args = p.parse_args()
 
     from edgecape_tpu.data.pipeline import load_image
@@ -145,7 +139,8 @@ def main():
                          ann, checkpoint=args.checkpoint,
                          backbone_ckpt=args.backbone_ckpt, size=args.size,
                          out_dir=args.out,
-                         plot_similarity=args.plot_similarity)
+                         plot_similarity=args.plot_similarity,
+                         plot_attention=args.plot_attn)
     print("wrote", path)
 
 

@@ -44,9 +44,10 @@ class PoseEstimator:
                  rng: Optional[jax.Array] = None,
                  mesh: Optional[jax.sharding.Mesh] = None):
         import dataclasses as _dc
-        if (jax.default_backend() == "tpu" and not cfg.model.use_flash
-                and mesh is None):
-            # the fused-attention flag changes no parameters, only compute
+        if jax.default_backend() == "tpu" and not cfg.model.use_flash:
+            # the fused-attention flag changes no parameters, only compute;
+            # under a mesh the forward runs inside shard_map so the Pallas
+            # kernels see per-shard shapes and stay valid
             cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
                                                      use_flash=True))
         self.cfg = cfg
@@ -78,7 +79,7 @@ class PoseEstimator:
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
-        flash = "auto" if self.mesh is None else False
+        flash = True if self.cfg.model.use_flash else "auto"
 
         def forward(bb_params, head_params, img_s, img_q, target_s,
                     weight_s, binary_adj):
@@ -99,17 +100,18 @@ class PoseEstimator:
                               axis=0))
 
         if self.mesh is not None:
-            from .parallel.mesh import batch_sharding, replicated
-            shard_b = batch_sharding(self.mesh)
-            rep = replicated(self.mesh)
-            return jax.jit(
-                forward,
-                in_shardings=(rep, rep, shard_b, shard_b, shard_b, shard_b,
-                              shard_b),
-                out_shardings=(shard_b, shard_b,
-                               jax.sharding.NamedSharding(
-                                   self.mesh,
-                                   jax.sharding.PartitionSpec(None, "data"))))
+            # episodes are independent: run the whole forward per-shard
+            # under shard_map (params replicated, batch axis sharded) so
+            # the Pallas kernels see local shapes — no GSPMD partitioning
+            # of custom calls needed
+            P = jax.sharding.PartitionSpec
+            sharded = jax.shard_map(
+                forward, mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                          P("data"), P("data")),
+                out_specs=(P("data"), P("data"), P(None, "data")),
+                check_vma=False)
+            return jax.jit(sharded)
         return jax.jit(forward)
 
     # ------------------------------------------- cached-support forward
@@ -117,9 +119,7 @@ class PoseEstimator:
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
-        # Pallas kernels under a sharded mesh need real multi-chip
-        # validation (ROADMAP); multi-chip uses the XLA paths for now
-        flash = "auto" if self.mesh is None else False
+        flash = True if self.cfg.model.use_flash else "auto"
         hs = self.cfg.model.heatmap_size
         size = float(self.cfg.model.image_size)
         sigma = self.cfg.test_data.sigma
@@ -147,13 +147,12 @@ class PoseEstimator:
                               method=type(model).encode_support)
             return ctx
 
-        def query_fn(bb_params, head_params, ctx, group, img_q):
+        def query_rows_fn(bb_params, head_params, ctx_rows, img_q):
+            # ctx_rows: support context already gathered per query row
             feat_q = dinov2.extract_features(bb_params,
                                              _maybe_normalize(img_q),
                                              bb_cfg, dtype=dtype,
                                              use_flash=flash)
-            # gather each query row's support context
-            ctx_rows = jax.tree.map(lambda a: a[group], ctx)
             enc = model.apply({"params": head_params}, feat_q, ctx_rows,
                               method=type(model).encode_query)
             outputs, _ = model.apply(
@@ -162,6 +161,11 @@ class PoseEstimator:
                 enc.img_pos, method=type(model).decode)
             return outputs[-1], enc.raw_adj
 
+        def query_fn(bb_params, head_params, ctx, group, img_q):
+            # gather each query row's support context
+            ctx_rows = jax.tree.map(lambda a: a[group], ctx)
+            return query_rows_fn(bb_params, head_params, ctx_rows, img_q)
+
         def combined_fn(bb_params, head_params, img_s, joints_s, vis_s,
                         binary_adj, group, img_q):
             ctx = support_fn(bb_params, head_params, img_s, joints_s,
@@ -169,17 +173,34 @@ class PoseEstimator:
             return query_fn(bb_params, head_params, ctx, group, img_q)
 
         if self.mesh is not None:
-            # multi-chip eval: supports sharded by group, queries by row;
-            # the ctx gather crosses shards — XLA inserts the collective
-            from .parallel.mesh import batch_sharding, replicated
-            shb = batch_sharding(self.mesh)
-            rep = replicated(self.mesh)
-            combined_jit = jax.jit(
-                combined_fn,
-                in_shardings=(rep, rep, shb, shb, shb, shb, shb, shb),
-                out_shardings=(shb, shb))
-            return (jax.jit(support_fn), jax.jit(query_fn), combined_jit)
+            # multi-chip eval: support phase shard_mapped over groups,
+            # query phase shard_mapped over rows; the ctx row-gather sits
+            # between the two manual regions where XLA inserts the
+            # cross-shard collective. Pallas kernels run per-shard.
+            P = jax.sharding.PartitionSpec
+            sup_sharded = jax.shard_map(
+                support_fn, mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                          P("data")),
+                out_specs=P("data"), check_vma=False)
+            qry_sharded = jax.shard_map(
+                query_rows_fn, mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P("data")),
+                out_specs=(P("data"), P("data")), check_vma=False)
+
+            def combined_mesh(bb_params, head_params, img_s, joints_s,
+                              vis_s, binary_adj, group, img_q):
+                ctx = sup_sharded(bb_params, head_params, img_s, joints_s,
+                                  vis_s, binary_adj)
+                ctx_rows = jax.tree.map(lambda a: a[group], ctx)
+                return qry_sharded(bb_params, head_params, ctx_rows, img_q)
+
+            return (jax.jit(sup_sharded), jax.jit(query_fn),
+                    jax.jit(combined_mesh))
         return jax.jit(support_fn), jax.jit(query_fn), jax.jit(combined_fn)
+
+    def _mesh_multiple(self) -> int:
+        return 1 if self.mesh is None else int(self.mesh.devices.size)
 
     def forward_cached(self, support: dict, query: dict):
         """Split-phase forward: support context computed once per episode
@@ -188,24 +209,80 @@ class PoseEstimator:
         if not hasattr(self, "_cached_fns") or self._cached_fns is None:
             self._cached_fns = self._build_cached_fns()
         _, _, combined = self._cached_fns
-        return combined(self.backbone_params, self.head_params,
-                        jnp.asarray(support["img_s"]),
-                        jnp.asarray(support["joints_s"]),
-                        jnp.asarray(support["vis_s"]),
-                        jnp.asarray(support["binary_adj"]),
-                        jnp.asarray(query["group"]),
-                        jnp.asarray(query["img_q"]))
+        m = self._mesh_multiple()
+        nq = int(query["group"].shape[0])
+        if m > 1 and (query["group"].shape[0] % m
+                      or support["img_s"].shape[0] % m):
+            # shard_map needs group/row counts divisible by the mesh;
+            # pad by repeating the last group / the last query row and
+            # slice the padded rows back off below
+            from .parallel.mesh import pad_to_multiple
+            support = {k: pad_to_multiple(np.asarray(v), m)[0]
+                       for k, v in support.items()}
+            query = {k: pad_to_multiple(np.asarray(v), m)[0]
+                     for k, v in query.items()}
+        pred, adj = combined(self.backbone_params, self.head_params,
+                             jnp.asarray(support["img_s"]),
+                             jnp.asarray(support["joints_s"]),
+                             jnp.asarray(support["vis_s"]),
+                             jnp.asarray(support["binary_adj"]),
+                             jnp.asarray(query["group"]),
+                             jnp.asarray(query["img_q"]))
+        return pred[:nq], adj[:nq]
 
     def forward_batch(self, batch: EpisodeBatch):
         """Returns (pred_norm [B, K, 2] in [0,1], raw_adj [B, K, K],
         trajectory [L+1, B, K, 2]) as device arrays."""
         if self._fwd is None:
             self._fwd = self._build_forward()
-        return self._fwd(self.backbone_params, self.head_params,
-                         jnp.asarray(batch.img_s), jnp.asarray(batch.img_q),
-                         jnp.asarray(batch.target_s),
-                         jnp.asarray(batch.weight_s),
-                         jnp.asarray(batch.binary_adj))
+        m = self._mesh_multiple()
+        arrs = [np.asarray(batch.img_s), np.asarray(batch.img_q),
+                np.asarray(batch.target_s), np.asarray(batch.weight_s),
+                np.asarray(batch.binary_adj)]
+        b = arrs[0].shape[0]
+        if m > 1 and b % m:
+            from .parallel.mesh import pad_to_multiple
+            arrs = [pad_to_multiple(a, m)[0] for a in arrs]
+        pred, adj, traj = self._fwd(self.backbone_params, self.head_params,
+                                    *map(jnp.asarray, arrs))
+        return pred[:b], adj[:b], traj[:, :b]
+
+    def forward_debug(self, batch: EpisodeBatch):
+        """Single-dispatch debug forward returning
+        (pred_norm [B, K, 2], raw_adj, similarity [B, K, gh, gw],
+        attn_maps [L, B, K, HW]) — the reference's return_attn_map path
+        (encoder_decoder.py:391-392) for plot_attn/plot_heatmap renders.
+        Not jitted for the mesh path; debug only."""
+        model = self.model
+        bb_cfg = self.backbone_cfg
+        dtype = jnp.dtype(self.cfg.model.compute_dtype)
+
+        @jax.jit
+        def fwd(bb_params, head_params, img_s, img_q, target_s, weight_s,
+                binary_adj):
+            b, s = img_s.shape[:2]
+            imgs = jnp.concatenate(
+                [img_s.reshape((b * s,) + img_s.shape[2:]), img_q], axis=0)
+            feats = dinov2.extract_features(bb_params, imgs, bb_cfg,
+                                            dtype=dtype, use_flash=False)
+            gh, gw = feats.shape[1:3]
+            feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
+            feat_q = feats[b * s:]
+            mask_s = jnp.prod(weight_s, axis=1)
+            enc = model.apply({"params": head_params}, feat_q, feat_s,
+                              target_s, mask_s, binary_adj,
+                              method=type(model).encode)
+            outputs, _, attn = model.apply(
+                {"params": head_params}, enc.kp_tokens, enc.img_tokens,
+                enc.proposals, enc.adj, enc.hop_stack, enc.kp_valid,
+                enc.img_pos, return_attn=True, method=type(model).decode)
+            return outputs[-1], enc.raw_adj, enc.similarity, attn
+
+        return fwd(self.backbone_params, self.head_params,
+                   jnp.asarray(batch.img_s), jnp.asarray(batch.img_q),
+                   jnp.asarray(batch.target_s),
+                   jnp.asarray(batch.weight_s),
+                   jnp.asarray(batch.binary_adj))
 
     # ------------------------------------------------------------- decode
     def decode_batch(self, pred_norm: np.ndarray,

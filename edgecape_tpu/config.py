@@ -104,6 +104,9 @@ class TrainConfig:
     seed: int = 1
     grad_clip: Optional[float] = None
     num_workers: int = 8
+    # TensorBoard scalar curves (reference TensorboardLoggerHook,
+    # configs/train/1shot_split1.py:27-32); events go to work_dir/tf_logs
+    tensorboard: bool = True
 
 
 @dataclass

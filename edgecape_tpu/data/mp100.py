@@ -86,6 +86,10 @@ def build_db(coco: CocoIndex, img_prefix: str, image_size,
                 "cat_kpt_num": cat_kpt_num,
                 "bbox_id": obj_id,
                 "skeleton": coco.cats[ann["category_id"]]["skeleton"],
+                # PCKh normalization box when the annotation provides it
+                # (reference test_base_dataset.py:114-117 reads
+                # item['head_size']; MP-100 jsons typically omit it)
+                "head_size": float(ann.get("head_size", 0.0)),
             })
             obj_id += 1
     return db, cat2obj

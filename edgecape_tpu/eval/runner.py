@@ -51,6 +51,14 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
              metric_list=("PCK", "NME", "AUC", "EPE"),
              progress: bool = True,
              cache_supports: bool = False) -> OrderedDict:
+    """Multi-process capable: each process evaluates its shard of the
+    episode groups (multihost.shard_range, replacing the reference's
+    DistributedSampler) and the per-record results are gathered as
+    fixed-shape arrays (multihost.allgather — replacing the reference's
+    pickle-over-NCCL collect_results_*, apis/test.py:94-198). Metrics are
+    computed identically on every process; only the primary writes files."""
+    from ..parallel import multihost
+
     os.makedirs(res_folder, exist_ok=True)
     from ..ops.affine import transform_preds_batch
 
@@ -58,6 +66,7 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
     t0 = time.time()
     n_done = 0
     size = estimator.cfg.model.image_size
+    nproc = multihost.process_count()
 
     if cache_supports:
         # split-phase: support context once per episode, gathered by the
@@ -66,8 +75,10 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
         from concurrent.futures import ThreadPoolExecutor
 
         groups = dataset.support_groups()
-        nq = max(len(rows) for _, rows in groups)
-        g_per_batch = max(1, min(batch_size // nq, len(groups)))
+        if nproc > 1:
+            groups = [groups[i] for i in multihost.shard_range(len(groups))]
+        nq = max((len(rows) for _, rows in groups), default=0)
+        g_per_batch = max(1, min(batch_size // max(nq, 1), len(groups)))
         chunks = []
         for i in range(0, len(groups), g_per_batch):
             chunk = groups[i:i + g_per_batch]
@@ -78,7 +89,8 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
                 chunk = chunk + [chunk[-1]]
             chunks.append((chunk, real))
         pool = ThreadPoolExecutor(max_workers=1)
-        pending = pool.submit(dataset.collate_group, chunks[0][0])
+        if chunks:
+            pending = pool.submit(dataset.collate_group, chunks[0][0])
         for ci in range(len(chunks)):
             support, query, meta = pending.result()
             real_groups = chunks[ci][1]
@@ -101,7 +113,14 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
                       f"({rate:.1f} img/s)", end="", flush=True)
         pool.shutdown(wait=False)
     else:
-        for batch in dataset.batches(batch_size, masking_ratio=0.0):
+        if nproc > 1:
+            rows = list(multihost.shard_range(len(dataset)))
+            batch_iter = (dataset.collate(rows[i:i + batch_size], rng=None,
+                                          masking_ratio=0.0)
+                          for i in range(0, len(rows), batch_size))
+        else:
+            batch_iter = dataset.batches(batch_size, masking_ratio=0.0)
+        for batch in batch_iter:
             pred_norm, _, _ = estimator.forward_batch(batch)
             out = estimator.decode_batch(np.asarray(pred_norm), batch)
             records.extend(_records_from(
@@ -118,6 +137,9 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
     if progress:
         print()
 
+    if nproc > 1:
+        records = _allgather_records(records)
+
     # dedup by bbox_id like the reference _sort_and_unique_bboxes
     records.sort(key=lambda r: r["bbox_id"])
     uniq = []
@@ -126,9 +148,10 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
         if r["bbox_id"] not in seen:
             uniq.append(r)
             seen.add(r["bbox_id"])
-    res_file = os.path.join(res_folder, "result_keypoints.json")
-    with open(res_file, "w") as f:
-        json.dump(uniq, f, sort_keys=True, indent=4)
+    if multihost.is_primary():
+        res_file = os.path.join(res_folder, "result_keypoints.json")
+        with open(res_file, "w") as f:
+            json.dump(uniq, f, sort_keys=True, indent=4)
 
     results = compute_metrics(dataset, uniq, metric_list)
     results["eval_seconds"] = round(time.time() - t0, 3)
@@ -137,11 +160,56 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
     return results
 
 
-def compute_metrics(dataset: MP100Dataset, records, metric_list
-                    ) -> OrderedDict:
-    """Reference _report_metric semantics over decoded records."""
-    assert len(records) == len(dataset.paired_samples)
-    pck_list = list(dataset.cfg.pck_threshold_list)
+def _allgather_records(records):
+    """Gather eval records from all processes as fixed-shape arrays.
+
+    Every record field is numeric with a static shape, so this replaces
+    the reference's pickle-over-NCCL collect_results_* (apis/test.py:
+    94-198) with plain array all-gathers: per-process counts first, then
+    zero-padded field arrays; padded rows are dropped on rebuild."""
+    from ..parallel import multihost
+
+    n = len(records)
+    counts = np.asarray(multihost.allgather(
+        np.asarray([n], np.int32))).reshape(-1)
+    maxn = int(counts.max())
+    k = (len(records[0]["keypoints"]) if records else 1)
+    kdims = np.asarray(multihost.allgather(
+        np.asarray([k], np.int32))).reshape(-1)
+    k = int(kdims.max())
+
+    def field(shape, dtype, get):
+        arr = np.zeros((maxn,) + shape, dtype)
+        for i, r in enumerate(records):
+            arr[i] = get(r)
+        return np.asarray(multihost.allgather(arr))   # [P, maxn, ...]
+
+    kp = field((k, 3), np.float32, lambda r: r["keypoints"])
+    center = field((2,), np.float32, lambda r: r["center"])
+    scale = field((2,), np.float32, lambda r: r["scale"])
+    area = field((), np.float32, lambda r: r["area"])
+    score = field((), np.float32, lambda r: r["score"])
+    image_id = field((), np.int64, lambda r: r["image_id"])
+    bbox_id = field((), np.int64, lambda r: r["bbox_id"])
+
+    out = []
+    for p in range(len(counts)):
+        for i in range(int(counts[p])):
+            out.append({
+                "keypoints": kp[p, i].tolist(),
+                "center": center[p, i].tolist(),
+                "scale": scale[p, i].tolist(),
+                "area": float(area[p, i]),
+                "score": float(score[p, i]),
+                "image_id": int(image_id[p, i]),
+                "bbox_id": int(bbox_id[p, i]),
+            })
+    return out
+
+
+def _gather_eval_arrays(dataset: MP100Dataset, records):
+    """Stack records + GT into flat arrays: preds/gts [R, K, 2],
+    masks [R, K] (query AND all supports), thr [R, 2] (bbox max side)."""
     outputs, gts, masks, thr_bbox = [], [], [], []
     for rec, pair in zip(records, dataset.paired_samples):
         item = dataset.db[pair[-1]]
@@ -157,19 +225,102 @@ def compute_metrics(dataset: MP100Dataset, records, metric_list
         bbox = np.array(item["bbox"])
         thr = np.max(bbox[2:])
         thr_bbox.append(np.array([thr, thr]))
+    return (np.stack(outputs).astype(np.float32),
+            np.stack(gts).astype(np.float32),
+            np.stack(masks),
+            np.stack(thr_bbox).astype(np.float32))
+
+
+def compute_metrics(dataset: MP100Dataset, records, metric_list
+                    ) -> OrderedDict:
+    """Reference _report_metric semantics over decoded records.
+
+    Vectorized over the whole record set (one [R, K] distance matrix
+    instead of R x thresholds single-sample pck_accuracy calls); the
+    per-sample mmpose-shaped path in eval/metrics.py remains the test
+    oracle (tests/test_data_eval.py)."""
+    assert len(records) == len(dataset.paired_samples)
+    pck_list = list(dataset.cfg.pck_threshold_list)
+    preds, gts, masks, thr = _gather_eval_arrays(dataset, records)
+
+    # normalized distances, mmpose _calc_distances semantics: per-axis
+    # division by the threshold box, invalid entries excluded
+    valid = masks & (thr > 0).all(axis=-1)[:, None]            # [R, K]
+    norm = np.where(thr <= 0, 1e6, thr)
+    d = np.linalg.norm((preds - gts) / norm[:, None, :], axis=-1)  # [R, K]
+    nvalid = valid.sum(axis=-1)                                # [R]
+    safe = np.maximum(nvalid, 1)
+
+    def _per_record_acc(t):
+        # avg acc per record at threshold t; 0.0 when no valid joints
+        # (single-sample pck_accuracy returns avg=0.0 in that case)
+        return ((d < t) & valid).sum(axis=-1) / safe
+
+    info = OrderedDict()
+    if "PCK" in metric_list:
+        mpck = 0.0
+        for t in pck_list:
+            v = float(np.mean(_per_record_acc(t)))
+            info[f"PCK@{t}"] = v
+            mpck += v
+        info["mPCK"] = mpck / len(pck_list)
+        info["PCK"] = info[f"PCK@{0.2}"] if 0.2 in pck_list else \
+            info[f"PCK@{pck_list[-1]}"]
+    if "PCKh" in metric_list:
+        # head-box normalization (reference test_base_dataset.py:114-117:
+        # threshold_head_box = [head_size, head_size])
+        hs = np.array([[dataset.db[pair[-1]].get("head_size", 0.0)] * 2
+                       for pair in dataset.paired_samples], np.float32)
+        hvalid = masks & (hs > 0).all(axis=-1)[:, None]
+        hnorm = np.where(hs <= 0, 1e6, hs)
+        dh = np.linalg.norm((preds - gts) / hnorm[:, None, :], axis=-1)
+        hsafe = np.maximum(hvalid.sum(axis=-1), 1)
+        for t in pck_list:
+            acc = ((dh < t) & hvalid).sum(axis=-1) / hsafe
+            info[f"PCKh@{t}"] = float(np.mean(acc))
+        info["PCKh"] = info[f"PCKh@{0.2}"] if 0.2 in pck_list else \
+            info[f"PCKh@{pck_list[-1]}"]
+    if "NME" in metric_list:
+        dv = np.where(valid, d, 0.0)   # invalid slots may hold padding junk
+        info["NME"] = float(np.mean(dv.sum(axis=-1) / safe))
+    if "AUC" in metric_list:
+        steps = np.arange(20, dtype=np.float32) / 20.0
+        # [S, R]: per-record acc at each threshold; per-record AUC is the
+        # mean over steps, reported AUC the mean over records
+        acc = ((d[None] < steps[:, None, None]) & valid[None]).sum(-1) / safe
+        info["AUC"] = float(np.mean(acc))
+    if "EPE" in metric_list:
+        de = np.where(masks, np.linalg.norm(preds - gts, axis=-1), 0.0)
+        nv = np.maximum(masks.sum(axis=-1), 1)
+        info["EPE"] = float(np.mean(de.sum(axis=-1) / nv))
+    return info
+
+
+def compute_metrics_reference(dataset: MP100Dataset, records, metric_list
+                              ) -> OrderedDict:
+    """Per-record oracle path (the round-1 implementation): R x thresholds
+    single-sample calls into eval/metrics.py. Kept as the test oracle for
+    the vectorized compute_metrics."""
+    assert len(records) == len(dataset.paired_samples)
+    pck_list = list(dataset.cfg.pck_threshold_list)
+    preds, gts, masks, thr = _gather_eval_arrays(dataset, records)
+    outputs = list(preds)
+    gts = list(gts)
+    masks = list(masks)
+    thr_bbox = list(thr)
 
     info = OrderedDict()
     if "PCK" in metric_list:
         per_thr = {t: [] for t in pck_list}
         for o, g, m, t in zip(outputs, gts, masks, thr_bbox):
-            for thr in pck_list:
+            for t_ in pck_list:
                 _, pck, _ = metrics.pck_accuracy(o[None], g[None], m[None],
-                                                 thr, t[None])
-                per_thr[thr].append(pck)
+                                                 t_, t[None])
+                per_thr[t_].append(pck)
         mpck = 0.0
-        for thr in pck_list:
-            v = float(np.mean(per_thr[thr]))
-            info[f"PCK@{thr}"] = v
+        for t_ in pck_list:
+            v = float(np.mean(per_thr[t_]))
+            info[f"PCK@{t_}"] = v
             mpck += v
         info["mPCK"] = mpck / len(pck_list)
         info["PCK"] = info[f"PCK@{0.2}"] if 0.2 in pck_list else \
@@ -191,7 +342,10 @@ def compute_metrics(dataset: MP100Dataset, records, metric_list
 
 def append_testing_log(work_dir: str, config_name: str, ckpt: str,
                        results: dict):
-    """testing_log.txt append (reference test.py:153-161)."""
+    """testing_log.txt append (reference test.py:153-161); primary only."""
+    from ..parallel import multihost
+    if not multihost.is_primary():
+        return
     os.makedirs(work_dir, exist_ok=True)
     with open(os.path.join(work_dir, "testing_log.txt"), "a") as f:
         f.write(f"config: {config_name} ckpt: {ckpt} ")

@@ -60,7 +60,8 @@ class Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.use_flash:
             from ..ops.flash_attention import flash_mha
-            out = flash_mha(q, k, v)
+            from ..ops.pallas_config import interpret_default
+            out = flash_mha(q, k, v, interpret=interpret_default())
         else:
             q = q * (head_dim ** -0.5)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -263,7 +264,9 @@ def fast_forward(params: Any, images: jnp.ndarray,
     """
     from ..ops.fused_attn_block import fused_attn_block
     from ..ops.fused_mlp import fused_ln_mlp
+    from ..ops.pallas_config import interpret_default
 
+    interp = interpret_default()
     c = cfg
     b, h, w, _ = images.shape
     gh, gw = h // c.patch_size, w // c.patch_size
@@ -301,12 +304,12 @@ def fast_forward(params: Any, images: jnp.ndarray,
             wqkv[:, :ce], bqkv[:ce], wqkv[:, ce:2 * ce], bqkv[ce:2 * ce],
             wqkv[:, 2 * ce:], bqkv[2 * ce:], att["proj"]["kernel"],
             att["proj"]["bias"], blk["ls1_gamma"],
-            num_heads=c.num_heads, eps=c.ln_eps)
+            num_heads=c.num_heads, eps=c.ln_eps, interpret=interp)
         # MLP half: fully fused Pallas block
         x = fused_ln_mlp(x, blk["norm2"]["scale"], blk["norm2"]["bias"],
                          blk["mlp_fc1"]["kernel"], blk["mlp_fc1"]["bias"],
                          blk["mlp_fc2"]["kernel"], blk["mlp_fc2"]["bias"],
-                         blk["ls2_gamma"], eps=c.ln_eps)
+                         blk["ls2_gamma"], eps=c.ln_eps, interpret=interp)
 
     x = layer_norm(x, params["norm"]).astype(jnp.float32)
     feats = x[:, 1:, :]

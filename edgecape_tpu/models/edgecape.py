@@ -181,13 +181,20 @@ class EdgeCape(nn.Module):
 
     # ------------------------------------------------------------ decode
     def decode(self, kp_tokens, img_tokens, proposals, adj, hop_stack,
-               kp_valid, img_pos, train: bool = False):
+               kp_valid, img_pos, train: bool = False,
+               return_attn: bool = False):
         """Run the refinement decoder; returns ([L, B, K, 2] per-layer
-        predictions via the head recompute, point trajectory)."""
-        inter, points = self.decoder(
+        predictions via the head recompute, point trajectory[, attn maps
+        [L, B, K, HW] when return_attn — reference return_attn_map,
+        encoder_decoder.py:391-392])."""
+        dec_out = self.decoder(
             kp_tokens, img_tokens, kp_valid=kp_valid, img_pos=img_pos,
             initial_proposals=proposals, adj=adj, hop_stack=hop_stack,
-            train=train)
+            train=train, return_attn=return_attn)
+        if return_attn:
+            inter, points, attn_maps = dec_out
+        else:
+            inter, points = dec_out
         # Head recompute (reference head.py:216-221): per-layer delta from
         # the *normed* tokens plus inverse-sigmoid of that layer's input
         # coords, WITHOUT the inter-layer stop_gradient.
@@ -196,6 +203,8 @@ class EdgeCape(nn.Module):
         for idx in range(inter.shape[0]):
             delta = self.decoder.kpt_branches[idx](inter[idx])
             outs.append(jax.nn.sigmoid(delta + inverse_sigmoid(points[idx])))
+        if return_attn:
+            return jnp.stack(outs, axis=0), points, attn_maps
         return jnp.stack(outs, axis=0), points
 
     def mask_tokens(self, kp_tokens, random_mask, kp_valid):

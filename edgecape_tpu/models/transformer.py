@@ -67,7 +67,7 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, *, key_valid=None, bias=None,
-                 train: bool = False):
+                 train: bool = False, return_probs: bool = False):
         b, nq, _ = q_in.shape
         nk = k_in.shape[1]
         h = self.num_heads
@@ -81,12 +81,16 @@ class MultiHeadAttention(nn.Module):
         v = v.reshape(b, nk, h, hd)
 
         # fused kernel: no additive head bias, no attention-prob dropout
-        # (eval). The kernel supports cross-attention (nq != nk) but at the
-        # decoder's small query counts XLA's batched matmul wins, so the
-        # fused path is applied to self-attention shapes only.
-        if self.use_flash and nq == nk and bias is None and not train:
+        # (eval), no prob extraction (debug only). The kernel supports
+        # cross-attention (nq != nk) but at the decoder's small query
+        # counts XLA's batched matmul wins, so the fused path is applied
+        # to self-attention shapes only.
+        if (self.use_flash and nq == nk and bias is None and not train
+                and not return_probs):
             from ..ops.flash_attention import flash_mha
-            out = flash_mha(q, k, v, key_valid).reshape(
+            from ..ops.pallas_config import interpret_default
+            out = flash_mha(q, k, v, key_valid,
+                            interpret=interpret_default()).reshape(
                 b, nq, self.embed_dim)
             return dense(self.embed_dim, "out_proj")(out)
 
@@ -101,7 +105,12 @@ class MultiHeadAttention(nn.Module):
         probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(
             b, nq, self.embed_dim)
-        return dense(self.embed_dim, "out_proj")(out)
+        out = dense(self.embed_dim, "out_proj")(out)
+        if return_probs:
+            # torch need_weights semantics: probabilities averaged over
+            # heads (reference decoder attn_map, encoder_decoder.py:624)
+            return out, jnp.mean(probs, axis=1)
+        return out
 
 
 class MarkovBiasMLP(nn.Module):
@@ -208,7 +217,8 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, kp_tokens, img_tokens, *, kp_valid, kp_query_pos,
-                 img_pos, hop_stack=None, adj=None, train: bool = False):
+                 img_pos, hop_stack=None, adj=None, train: bool = False,
+                 return_attn: bool = False):
         drop = lambda x: nn.Dropout(self.dropout,  # noqa: E731
                                     deterministic=not train)(x)
         # (1) keypoint self-attention
@@ -227,10 +237,17 @@ class DecoderLayer(nn.Module):
         # (2) cross-attention with concatenated positional embedding
         q = jnp.concatenate([x, kp_query_pos], axis=-1)
         k = jnp.concatenate([img_tokens, img_pos], axis=-1)
-        att = MultiHeadAttention(2 * self.d_model, self.nhead, self.dropout,
-                                 use_flash=self.use_flash,
-                                 name="cross_attn")(
-            q, k, img_tokens, train=train)
+        cross = MultiHeadAttention(2 * self.d_model, self.nhead,
+                                   self.dropout, use_flash=self.use_flash,
+                                   name="cross_attn")
+        attn_map = None
+        if return_attn:
+            # reference img_attn_map (encoder_decoder.py:624-628): the
+            # kp->image cross-attention probabilities, head-averaged
+            att, attn_map = cross(q, k, img_tokens, train=train,
+                                  return_probs=True)
+        else:
+            att = cross(q, k, img_tokens, train=train)
         att = dense(self.d_model, "choker")(att)
         x = x + drop(att)
         x = lnorm("norm2")(x)
@@ -254,6 +271,8 @@ class DecoderLayer(nn.Module):
             img_tokens = img_tokens + drop(att2)
             img_tokens = lnorm("norm4")(img_tokens)
 
+        if return_attn:
+            return x, img_tokens, attn_map
         return x, img_tokens
 
 
@@ -315,22 +334,33 @@ class Decoder(nn.Module):
                              for i in range(self.num_layers)]
 
     def __call__(self, kp_tokens, img_tokens, *, kp_valid, img_pos,
-                 initial_proposals, adj, hop_stack=None, train: bool = False):
+                 initial_proposals, adj, hop_stack=None, train: bool = False,
+                 return_attn: bool = False):
         kp_valid = ensure_some_valid(kp_valid)
         bi = jax.lax.stop_gradient(initial_proposals)
         points = [bi]
         intermediate = []
+        attn_maps = []
         x = kp_tokens
         for i, layer in enumerate(self.layers):
             query_pos = pos_enc.sine_coords(bi, self.num_feats).astype(
                 x.dtype)
             query_pos = self.ref_point_head(query_pos)
-            x, img_tokens = layer(
+            out = layer(
                 x, img_tokens, kp_valid=kp_valid, kp_query_pos=query_pos,
-                img_pos=img_pos, hop_stack=hop_stack, adj=adj, train=train)
+                img_pos=img_pos, hop_stack=hop_stack, adj=adj, train=train,
+                return_attn=return_attn)
+            if return_attn:
+                x, img_tokens, attn_map = out
+                attn_maps.append(attn_map)
+            else:
+                x, img_tokens = out
             intermediate.append(self.norm(x))
             delta = self.kpt_branches[i](x)
             bi_pred = jax.nn.sigmoid(inverse_sigmoid(bi) + delta)
             bi = jax.lax.stop_gradient(bi_pred)
             points.append(bi_pred)
+        if return_attn:
+            return jnp.stack(intermediate, axis=0), points, \
+                jnp.stack(attn_maps, axis=0)
         return jnp.stack(intermediate, axis=0), points

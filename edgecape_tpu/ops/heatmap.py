@@ -45,20 +45,28 @@ def render_msra(joints_xy, visible, heatmap_size, image_size, sigma: float):
     tmp_size = sigma * 3
 
     mu = _msra_centers(joints_xy[:, :2], feat_stride)  # [K, 2] int
-    ul = mu - int(tmp_size)
-    br = mu + int(tmp_size) + 1
+    # reference window bounds: int() truncation toward zero of mu -/+ ts —
+    # matters when 3*sigma is fractional (asymmetric window, and the
+    # gaussian anchors at ul + (2*ts+1)//2 rather than at mu)
+    ul = np.trunc(mu - tmp_size)
+    br = np.trunc(mu + tmp_size + 1)
     in_bounds = ~((ul[:, 0] >= W) | (ul[:, 1] >= H) | (br[:, 0] < 0)
                   | (br[:, 1] < 0))
 
     weight = (np.asarray(visible, dtype=np.float32).reshape(K)
               * in_bounds.astype(np.float32)).reshape(K, 1)
 
+    x0 = (2.0 * tmp_size + 1.0) // 2.0
+    center = ul + x0                                      # [K, 2]
     xs = np.arange(W, dtype=np.float32)[None, None, :]   # [1, 1, W]
     ys = np.arange(H, dtype=np.float32)[None, :, None]   # [1, H, 1]
-    dx = xs - mu[:, 0].astype(np.float32)[:, None, None]
-    dy = ys - mu[:, 1].astype(np.float32)[:, None, None]
+    dx = xs - center[:, 0].astype(np.float32)[:, None, None]
+    dy = ys - center[:, 1].astype(np.float32)[:, None, None]
     g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
-    window = (np.abs(dx) <= tmp_size) & (np.abs(dy) <= tmp_size)
+    window = ((xs >= ul[:, 0][:, None, None])
+              & (xs < br[:, 0][:, None, None])
+              & (ys >= ul[:, 1][:, None, None])
+              & (ys < br[:, 1][:, None, None]))
     draw = (weight[:, 0] > 0.5)[:, None, None]
     target = (g * window * draw).astype(np.float32)
     return target, weight.astype(np.float32)
@@ -78,18 +86,23 @@ def render_msra_jnp(joints_xy, visible, heatmap_size, image_size,
     tmp_size = sigma * 3
 
     mu = jnp.trunc(joints_xy / feat_stride + 0.5)  # [..., K, 2]
-    ul = mu - int(tmp_size)
-    br = mu + int(tmp_size) + 1
+    ul = jnp.trunc(mu - tmp_size)
+    br = jnp.trunc(mu + tmp_size + 1)
     in_bounds = ~((ul[..., 0] >= W) | (ul[..., 1] >= H) | (br[..., 0] < 0)
                   | (br[..., 1] < 0))
     weight = visible.astype(jnp.float32) * in_bounds.astype(jnp.float32)
 
+    x0 = (2.0 * tmp_size + 1.0) // 2.0
+    center = ul + x0
     xs = jnp.arange(W, dtype=jnp.float32)
     ys = jnp.arange(H, dtype=jnp.float32)
-    dx = xs[None, :] - mu[..., 0][..., None, None]       # [..., K, 1, W] bc
-    dy = ys[:, None] - mu[..., 1][..., None, None]       # [..., K, H, 1]
+    dx = xs[None, :] - center[..., 0][..., None, None]   # [..., K, 1, W] bc
+    dy = ys[:, None] - center[..., 1][..., None, None]   # [..., K, H, 1]
     g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
-    window = (jnp.abs(dx) <= tmp_size) & (jnp.abs(dy) <= tmp_size)
+    window = ((xs[None, :] >= ul[..., 0][..., None, None])
+              & (xs[None, :] < br[..., 0][..., None, None])
+              & (ys[:, None] >= ul[..., 1][..., None, None])
+              & (ys[:, None] < br[..., 1][..., None, None]))
     draw = (weight > 0.5)[..., None, None]
     target = g * window * draw
     return target.astype(jnp.float32), weight[..., None]
@@ -106,27 +119,69 @@ def render_udp(joints_xy, visible, heatmap_size, image_size, sigma: float):
     tmp_size = sigma * 3
 
     mu_ac = joints_xy[:, :2] / feat_stride          # continuous center
-    mu = np.trunc(mu_ac + 0.5).astype(np.int64)     # snapped (bounds check)
-    ul = mu - int(tmp_size)
-    br = mu + int(tmp_size) + 1
+    mu = np.trunc(mu_ac + 0.5)                      # snapped (window anchor)
+    ul = np.trunc(mu - tmp_size)
+    br = np.trunc(mu + tmp_size + 1)
     in_bounds = ~((ul[:, 0] >= W) | (ul[:, 1] >= H) | (br[:, 0] < 0)
                   | (br[:, 1] < 0))
     weight = (np.asarray(visible, dtype=np.float32).reshape(K)
               * in_bounds.astype(np.float32)).reshape(K, 1)
 
+    # reference gaussian anchor (top_down_transform.py:262-268):
+    # x0 = size//2 + (mu_ac - mu) relative to ul
+    x0 = (2.0 * tmp_size + 1.0) // 2.0
+    center = ul + x0 + (mu_ac - mu)
     xs = np.arange(W, dtype=np.float32)[None, None, :]
     ys = np.arange(H, dtype=np.float32)[None, :, None]
-    dx = xs - mu_ac[:, 0][:, None, None]
-    dy = ys - mu_ac[:, 1][:, None, None]
+    dx = xs - center[:, 0][:, None, None]
+    dy = ys - center[:, 1][:, None, None]
     g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
-    # window is anchored at the snapped integer center, like the reference
-    dxi = xs - mu[:, 0].astype(np.float32)[:, None, None]
-    dyi = ys - mu[:, 1].astype(np.float32)[:, None, None]
-    window = (dxi >= -tmp_size) & (dxi < tmp_size + 1) & \
-             (dyi >= -tmp_size) & (dyi < tmp_size + 1)
+    window = ((xs >= ul[:, 0][:, None, None])
+              & (xs < br[:, 0][:, None, None])
+              & (ys >= ul[:, 1][:, None, None])
+              & (ys < br[:, 1][:, None, None]))
     draw = (weight[:, 0] > 0.5)[:, None, None]
     target = (g * window * draw).astype(np.float32)
     return target, weight.astype(np.float32)
+
+
+def render_msra_multi(joints_xy, visible, heatmap_size, image_size, sigmas):
+    """Multi-sigma MSRA stacking (reference top_down_transform.py:330-345):
+    targets [S, K, H, W] and weights [S, K, 1], one slice per sigma."""
+    ts, ws = zip(*(render_msra(joints_xy, visible, heatmap_size,
+                               image_size, float(s)) for s in sigmas))
+    return np.stack(ts, axis=0), np.stack(ws, axis=0)
+
+
+def render_udp_combined(joints_xy, visible, heatmap_size, image_size,
+                        valid_radius_factor: float = 0.0546875):
+    """UDP CombinedTarget (reference top_down_transform.py:286-315):
+    per joint a classification disc plus x/y offset maps, all computed
+    at the UDP sub-pixel center.
+
+    Returns (target [K*3, H, W] float32, weight [K, 1] float32); channel
+    layout per joint is [response, x_offset, y_offset], matching the
+    reference's reshape(num_joints*3, H, W).
+    """
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    joints_xy = np.asarray(joints_xy, dtype=np.float32)
+    K = joints_xy.shape[0]
+    feat_stride = ((np.asarray(image_size, dtype=np.float32) - 1.0)
+                   / (np.array([W, H], dtype=np.float32) - 1.0))
+    valid_radius = valid_radius_factor * H
+
+    mu = joints_xy[:, :2] / feat_stride                    # [K, 2] cont.
+    xs = np.arange(W, dtype=np.float32)[None, None, :]     # [1, 1, W]
+    ys = np.arange(H, dtype=np.float32)[None, :, None]     # [1, H, 1]
+    x_off = (mu[:, 0][:, None, None] - xs) / valid_radius  # [K, H, W]
+    y_off = (mu[:, 1][:, None, None] - ys) / valid_radius
+    keep = (x_off ** 2 + y_off ** 2) <= 1.0
+    weight = np.asarray(visible, dtype=np.float32).reshape(K, 1)
+    draw = (weight[:, 0] > 0.5)[:, None, None] & keep
+    target = np.stack([draw.astype(np.float32),
+                       np.where(draw, x_off, 0.0),
+                       np.where(draw, y_off, 0.0)], axis=1)  # [K, 3, H, W]
+    return target.reshape(K * 3, H, W).astype(np.float32), weight
 
 
 def render_udp_jnp(joints_xy, visible, heatmap_size, image_size,
@@ -141,20 +196,22 @@ def render_udp_jnp(joints_xy, visible, heatmap_size, image_size,
 
     mu_ac = joints_xy / feat_stride
     mu = jnp.trunc(mu_ac + 0.5)
-    ul = mu - int(tmp_size)
-    br = mu + int(tmp_size) + 1
+    ul = jnp.trunc(mu - tmp_size)
+    br = jnp.trunc(mu + tmp_size + 1)
     in_bounds = ~((ul[..., 0] >= W) | (ul[..., 1] >= H) | (br[..., 0] < 0)
                   | (br[..., 1] < 0))
     weight = visible.astype(jnp.float32) * in_bounds.astype(jnp.float32)
 
+    x0 = (2.0 * tmp_size + 1.0) // 2.0
+    center = ul + x0 + (mu_ac - mu)
     xs = jnp.arange(W, dtype=jnp.float32)
     ys = jnp.arange(H, dtype=jnp.float32)
-    dx = xs[None, :] - mu_ac[..., 0][..., None, None]
-    dy = ys[:, None] - mu_ac[..., 1][..., None, None]
+    dx = xs[None, :] - center[..., 0][..., None, None]
+    dy = ys[:, None] - center[..., 1][..., None, None]
     g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
-    dxi = xs[None, :] - mu[..., 0][..., None, None]
-    dyi = ys[:, None] - mu[..., 1][..., None, None]
-    window = ((dxi >= -tmp_size) & (dxi < tmp_size + 1)
-              & (dyi >= -tmp_size) & (dyi < tmp_size + 1))
+    window = ((xs[None, :] >= ul[..., 0][..., None, None])
+              & (xs[None, :] < br[..., 0][..., None, None])
+              & (ys[:, None] >= ul[..., 1][..., None, None])
+              & (ys[:, None] < br[..., 1][..., None, None]))
     draw = (weight > 0.5)[..., None, None]
     return (g * window * draw).astype(jnp.float32), weight[..., None]

@@ -58,3 +58,46 @@ def shard_range(n: int) -> range:
     p, i = jax.process_count(), jax.process_index()
     per = (n + p - 1) // p
     return range(i * per, min((i + 1) * per, n))
+
+
+# ---------------------------------------------------------------- global
+# arrays: host trees -> jax.Arrays laid out over a multi-process mesh.
+# (Single-process: plain device_put, so call sites are uniform.)
+
+def replicate_global(tree: Any, mesh) -> Any:
+    """Replicate a host tree (identical on every process) over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        jax.tree.map(lambda a: jax.numpy.asarray(a), tree), mesh, P())
+
+
+def shard_batch_global(tree: Any, mesh, axis: str = "data") -> Any:
+    """Host batch tree (full copy on every process, leading batch axis)
+    -> batch-sharded global arrays. Each process contributes its
+    contiguous row block (batch must divide process_count)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    from jax.experimental import multihost_utils
+    p, i = jax.process_count(), jax.process_index()
+
+    def slice_local(a):
+        n = a.shape[0]
+        assert n % p == 0, f"batch {n} not divisible by {p} processes"
+        per = n // p
+        return a[i * per:(i + 1) * per]
+
+    return multihost_utils.host_local_array_to_global_array(
+        jax.tree.map(slice_local, tree), mesh, P(axis))
+
+
+def to_host(tree: Any) -> Any:
+    """Fully-replicated global arrays -> host numpy (addressable
+    everywhere since every process holds a full replica)."""
+    import numpy as np
+    return jax.tree.map(np.asarray, tree)

@@ -40,13 +40,31 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
 
 
-def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
+def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg,
+                    mesh=None):
     mcfg = cfg.model
     size = float(mcfg.image_size)
     bb_dtype = jnp.dtype(mcfg.compute_dtype)
     hs = mcfg.heatmap_size
     sigma = cfg.train_data.sigma
     render = render_udp_jnp if cfg.train_data.use_udp else render_msra_jnp
+    # flash (internally bf16) only when the user opted into bf16
+    # features; the fp32 default stays bit-exact XLA
+    bb_flash = "auto" if bb_dtype == jnp.bfloat16 else False
+
+    def extract(bb_params, imgs):
+        return dinov2.extract_features(bb_params, imgs, backbone_cfg,
+                                       dtype=bb_dtype, use_flash=bb_flash)
+
+    if mesh is not None:
+        # the frozen backbone is purely batch-parallel: run it in a manual
+        # shard_map region so the Pallas fast path stays valid per-shard;
+        # the head math (tiny, with batch-global loss normalizers) stays
+        # in GSPMD land where XLA computes exact global semantics
+        P = jax.sharding.PartitionSpec
+        extract = jax.shard_map(extract, mesh=mesh,
+                                in_specs=(P(), P("data")),
+                                out_specs=P("data"), check_vma=False)
 
     def loss_fn(params, bb_params, batch, rng):
         r_enc, r_dec, r_rec = jax.random.split(rng, 3)
@@ -54,11 +72,7 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg):
         imgs = jnp.concatenate(
             [batch["img_s"].reshape((b * s,) + batch["img_s"].shape[2:]),
              batch["img_q"]], axis=0)
-        # flash (internally bf16) only when the user opted into bf16
-        # features; the fp32 default stays bit-exact XLA
-        feats = dinov2.extract_features(
-            bb_params, imgs, backbone_cfg, dtype=bb_dtype,
-            use_flash="auto" if bb_dtype == jnp.bfloat16 else False)
+        feats = extract(bb_params, imgs)
         gh, gw = feats.shape[1:3]
         feat_s = feats[:b * s].reshape(b, s, gh, gw, -1)
         feat_q = feats[b * s:]
@@ -201,7 +215,9 @@ class Trainer:
             self.best_pck = float(tree["best_pck"])
             self.log(f"resumed from {resume} at epoch {self.start_epoch}")
 
-        step_fn = make_train_step(self.model, self.tx, cfg, dinov2.VIT_S14)
+        step_fn = make_train_step(self.model, self.tx, cfg, dinov2.VIT_S14,
+                                  mesh=mesh)
+        self.multiprocess = mesh is not None and jax.process_count() > 1
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, replicated
             rep, shb = replicated(mesh), batch_sharding(mesh)
@@ -214,6 +230,20 @@ class Trainer:
             self.train_step = jax.jit(
                 step_fn, in_shardings=(state_sh, rep, batch_shardings, rep),
                 donate_argnums=(0,))
+            if self.multiprocess:
+                # jit can auto-shard host arrays only within one process;
+                # across processes state/backbone become global replicated
+                # arrays once, batches per step (fit loop)
+                from ..parallel import multihost
+                self.backbone_params = multihost.replicate_global(
+                    self.backbone_params, mesh)
+                self.state = TrainState(
+                    params=multihost.replicate_global(self.state.params,
+                                                      mesh),
+                    opt_state=multihost.replicate_global(
+                        self.state.opt_state, mesh),
+                    step=multihost.replicate_global(
+                        jnp.asarray(self.state.step), mesh))
         else:
             self.train_step = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -222,13 +252,21 @@ class Trainer:
         import dataclasses
 
         from .. import __version__
+        from ..parallel import multihost
 
         os.makedirs(self.cfg.work_dir, exist_ok=True)
         tree = {"params": self.state.params,
                 "opt_state": self.state.opt_state,
                 "step": np.asarray(self.state.step),
                 "epoch": epoch, "best_pck": self.best_pck}
-        ckpt_lib.save_checkpoint(os.path.join(self.cfg.work_dir, name), tree)
+        if self.multiprocess:
+            # replicated global arrays -> host numpy; every process calls
+            # orbax, which writes on the primary and barriers the rest
+            tree = multihost.to_host(tree)
+        ckpt_lib.save_checkpoint(os.path.join(self.cfg.work_dir, name),
+                                 tree)
+        if not multihost.is_primary():
+            return
         # meta stamping (reference train.py:182-188 embeds version+config):
         # strings go in a sidecar json, not the array tree
         with open(os.path.join(self.cfg.work_dir, name + ".meta.json"),
@@ -242,15 +280,25 @@ class Trainer:
     def _evaluate(self) -> float:
         from ..api import PoseEstimator
         from ..eval.runner import run_eval
+        from ..parallel import multihost
         # Build the estimator once and swap the live params in on each
         # eval: the jitted forward closes over nothing, so reusing the
         # instance reuses its compilation cache across eval intervals.
+        # Multi-process: each process evaluates its episode shard on its
+        # local devices (run_eval shards + allgathers), so the estimator
+        # gets host copies of the replicated global params.
+        params = self.state.params
+        backbone = self.backbone_params
+        if self.multiprocess:
+            params = multihost.to_host(params)
+            backbone = multihost.to_host(backbone)
         if self._eval_estimator is None:
             self._eval_estimator = PoseEstimator(
-                self.cfg, backbone_params=self.backbone_params,
-                head_params=self.state.params, mesh=None)
+                self.cfg, backbone_params=backbone,
+                head_params=params, mesh=None)
         est = self._eval_estimator
-        est.head_params = self.state.params
+        est.head_params = params
+        est.backbone_params = backbone
         res = run_eval(self.val_ds, est,
                        batch_size=max(self.cfg.train.batch_size, 1),
                        res_folder=self.cfg.work_dir, progress=False,
@@ -261,11 +309,19 @@ class Trainer:
     def fit(self) -> TrainState:
         from ..data.loader import Prefetcher
 
+        from ..parallel import multihost
+
         cfg = self.cfg
         masking = (cfg.model.masking_ratio
                    if cfg.model.masked_supervision else 0.0)
         log_path = os.path.join(cfg.work_dir, "train_log.jsonl")
         os.makedirs(cfg.work_dir, exist_ok=True)
+        tb = None
+        if cfg.train.tensorboard and multihost.is_primary():
+            # reference TensorboardLoggerHook parity
+            # (configs/train/1shot_split1.py:27-32)
+            from ..utils.tb_writer import SummaryWriter
+            tb = SummaryWriter(os.path.join(cfg.work_dir, "tf_logs"))
         loader = Prefetcher(self.train_ds, cfg.train.batch_size,
                             shuffle=True, masking_ratio=masking,
                             drop_last=True,
@@ -277,9 +333,14 @@ class Trainer:
             agg, n_agg, n_it = {}, 0, 0
             for batch in loader.epoch():
                 self.rng, step_rng = jax.random.split(self.rng)
+                arrays = batch_to_device_arrays(batch)
+                if self.multiprocess:
+                    # identical seeded batches on every process; each
+                    # contributes its row block to the global batch
+                    from ..parallel import multihost
+                    arrays = multihost.shard_batch_global(arrays, self.mesh)
                 self.state, metrics = self.train_step(
-                    self.state, self.backbone_params,
-                    batch_to_device_arrays(batch), step_rng)
+                    self.state, self.backbone_params, arrays, step_rng)
                 n_it += 1
                 if n_it % cfg.train.log_interval == 0 or n_it == 1:
                     metrics = {k: float(v) for k, v in metrics.items()}
@@ -290,6 +351,12 @@ class Trainer:
                              f"{self.steps_per_epoch} "
                              + " ".join(f"{k}={v:.4f}"
                                         for k, v in sorted(metrics.items())))
+                    if tb is not None:
+                        step = int(self.state.step)
+                        for k, v in metrics.items():
+                            tb.add_scalar(f"train/{k}", v, step)
+                        tb.add_scalar("train/lr", float(self.sched(step)),
+                                      step)
             # after_train_epoch: reshuffle episode pairs
             # (ShufflePairedSamplesHook equivalent)
             self.train_ds.resample_episodes()
@@ -303,6 +370,8 @@ class Trainer:
                     (epoch + 1) % cfg.train.eval_interval == 0:
                 pck = self._evaluate()
                 entry["val_pck"] = pck
+                if tb is not None:
+                    tb.add_scalar("val/PCK", pck, int(self.state.step))
                 if pck > self.best_pck:
                     self.best_pck = pck
                     self._save(f"best_PCK_epoch_{epoch + 1}", epoch)
@@ -311,6 +380,11 @@ class Trainer:
             if (epoch + 1) % cfg.train.ckpt_interval == 0 or \
                     epoch + 1 == cfg.train.total_epochs:
                 self._save(f"epoch_{epoch + 1}", epoch)
-            with open(log_path, "a") as f:
-                f.write(json.dumps(entry) + "\n")
+            if multihost.is_primary():
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(entry) + "\n")
+            if tb is not None:
+                tb.flush()
+        if tb is not None:
+            tb.close()
         return self.state

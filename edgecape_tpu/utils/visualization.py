@@ -87,6 +87,65 @@ def plot_results(support_img, query_img, support_kpts, support_vis,
     return path
 
 
+def plot_attn(query_img, attn_maps, kpt_indices, out_dir,
+              gt_adj=None, learned_adj=None, prefix: str = "attn",
+              normalize_imgs: bool = True):
+    """Debug render of decoder cross-attention (reference plot_attn,
+    models/utils/visualization.py:113-236 / return_attn_map,
+    encoder_decoder.py:391-392).
+
+    attn_maps: [L, K, h*w] per-layer head-averaged kp->image attention
+    probabilities. Renders one row per selected keypoint with its per-layer
+    attention over the query image, plus (optionally) the GT and learned
+    adjacency matrices as a final row — the reference figure's content in
+    a compact grid. Returns the written file path.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if normalize_imgs:
+        query_img = denormalize_image(query_img)
+    attn = np.asarray(attn_maps, np.float32)
+    n_layers, k, hw = attn.shape
+    g = int(round(hw ** 0.5))
+    hq, wq = query_img.shape[:2]
+    n_kp = len(kpt_indices)
+    n_rows = n_kp + (1 if gt_adj is not None or learned_adj is not None
+                     else 0)
+    fig, axes = plt.subplots(n_rows, n_layers,
+                             figsize=(4 * n_layers, 4 * n_rows),
+                             squeeze=False)
+    for r, ki in enumerate(kpt_indices):
+        for l in range(n_layers):
+            ax = axes[r, l]
+            ax.imshow(np.clip(query_img, 0, 1))
+            amap = attn[l, ki].reshape(g, g)
+            ax.imshow(amap, alpha=0.6, extent=(0, wq, hq, 0), cmap="Reds")
+            ax.set_title(f"kp {ki} / decoder layer {l}")
+            ax.axis("off")
+    if n_rows > n_kp:
+        mats = [("GT adjacency", gt_adj), ("learned adjacency",
+                                           learned_adj)]
+        for l in range(n_layers):
+            ax = axes[n_kp, l]
+            title, mat = mats[l] if l < len(mats) else (None, None)
+            if mat is None:
+                ax.axis("off")
+                continue
+            ax.imshow(np.asarray(mat, np.float32), cmap="Reds")
+            ax.set_title(title)
+    os.makedirs(out_dir, exist_ok=True)
+    idx = 0
+    while os.path.exists(os.path.join(out_dir, f"{prefix}_{idx}.png")):
+        idx += 1
+    path = os.path.join(out_dir, f"{prefix}_{idx}.png")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 def plot_similarity_maps(query_img, similarity, kpt_indices, out_dir,
                          prefix: str = "similarity",
                          normalize_imgs: bool = True):

@@ -128,7 +128,10 @@ void msra_heatmaps_batch(const float* joints, const float* visible,
                          float sigma, int num_threads) {
   const float stride_x = img_w / static_cast<float>(hm_w);
   const float stride_y = img_h / static_cast<float>(hm_h);
-  const int tmp = static_cast<int>(sigma * 3.f);
+  const float tmp_f = sigma * 3.f;
+  // reference gaussian anchor: ul + (2*ts+1)//2 (shifts off mu when
+  // 3*sigma is fractional — top_down_transform.py:178-189)
+  const float x0 = std::floor((2.f * tmp_f + 1.f) / 2.f);
   const float inv_two_sigma2 = 1.f / (2.f * sigma * sigma);
   parallel_for(n, num_threads, [&](int i) {
     for (int j = 0; j < k; ++j) {
@@ -137,24 +140,31 @@ void msra_heatmaps_batch(const float* joints, const float* visible,
       std::memset(tgt, 0, sizeof(float) * hm_h * hm_w);
       const float vx = visible[base];
       // int(v + 0.5) truncation-toward-zero like python's int()
-      const float jx = joints[base * 2 + 0] / stride_x + 0.5f;
-      const float jy = joints[base * 2 + 1] / stride_y + 0.5f;
-      const int mu_x = static_cast<int>(jx);
-      const int mu_y = static_cast<int>(jy);
-      const bool oob = (mu_x - tmp >= hm_w) || (mu_y - tmp >= hm_h) ||
-                       (mu_x + tmp + 1 < 0) || (mu_y + tmp + 1 < 0);
+      const int mu_x = static_cast<int>(joints[base * 2 + 0] / stride_x
+                                        + 0.5f);
+      const int mu_y = static_cast<int>(joints[base * 2 + 1] / stride_y
+                                        + 0.5f);
+      // window bounds: int() truncation toward zero of mu -/+ ts
+      const int ul_x = static_cast<int>(mu_x - tmp_f);
+      const int ul_y = static_cast<int>(mu_y - tmp_f);
+      const int br_x = static_cast<int>(mu_x + tmp_f + 1.f);
+      const int br_y = static_cast<int>(mu_y + tmp_f + 1.f);
+      const bool oob = (ul_x >= hm_w) || (ul_y >= hm_h) || (br_x < 0) ||
+                       (br_y < 0);
       const float w = oob ? 0.f : vx;
       weight[base] = w;
       if (w <= 0.5f) continue;
-      const int y_lo = std::max(0, mu_y - tmp);
-      const int y_hi = std::min(hm_h - 1, mu_y + tmp);
-      const int x_lo = std::max(0, mu_x - tmp);
-      const int x_hi = std::min(hm_w - 1, mu_x + tmp);
+      const float cx = static_cast<float>(ul_x) + x0;
+      const float cy = static_cast<float>(ul_y) + x0;
+      const int y_lo = std::max(0, ul_y);
+      const int y_hi = std::min(hm_h, br_y) - 1;
+      const int x_lo = std::max(0, ul_x);
+      const int x_hi = std::min(hm_w, br_x) - 1;
       for (int y = y_lo; y <= y_hi; ++y) {
-        const float dy = static_cast<float>(y - mu_y);
+        const float dy = static_cast<float>(y) - cy;
         float* row = tgt + static_cast<size_t>(y) * hm_w;
         for (int x = x_lo; x <= x_hi; ++x) {
-          const float dx = static_cast<float>(x - mu_x);
+          const float dx = static_cast<float>(x) - cx;
           row[x] = std::exp(-(dx * dx + dy * dy) * inv_two_sigma2);
         }
       }
@@ -173,7 +183,7 @@ void udp_heatmaps_batch(const float* joints, const float* visible,
   const float stride_x = (img_w - 1.f) / static_cast<float>(hm_w - 1);
   const float stride_y = (img_h - 1.f) / static_cast<float>(hm_h - 1);
   const float tmp_f = sigma * 3.f;
-  const int tmp = static_cast<int>(tmp_f);
+  const float x0 = std::floor((2.f * tmp_f + 1.f) / 2.f);
   const float inv_two_sigma2 = 1.f / (2.f * sigma * sigma);
   parallel_for(n, num_threads, [&](int i) {
     for (int j = 0; j < k; ++j) {
@@ -181,24 +191,28 @@ void udp_heatmaps_batch(const float* joints, const float* visible,
       float* tgt = target + base * hm_h * hm_w;
       std::memset(tgt, 0, sizeof(float) * hm_h * hm_w);
       const float vx = visible[base];
-      const float cx = joints[base * 2 + 0] / stride_x;  // continuous
-      const float cy = joints[base * 2 + 1] / stride_y;
+      const float ax = joints[base * 2 + 0] / stride_x;  // continuous
+      const float ay = joints[base * 2 + 1] / stride_y;
       // trunc(c + 0.5) like python int(): snapped center for window/bounds
-      const int mu_x = static_cast<int>(cx + 0.5f);
-      const int mu_y = static_cast<int>(cy + 0.5f);
-      const bool oob = (mu_x - tmp >= hm_w) || (mu_y - tmp >= hm_h) ||
-                       (mu_x + tmp + 1 < 0) || (mu_y + tmp + 1 < 0);
+      const int mu_x = static_cast<int>(ax + 0.5f);
+      const int mu_y = static_cast<int>(ay + 0.5f);
+      const int ul_x = static_cast<int>(mu_x - tmp_f);
+      const int ul_y = static_cast<int>(mu_y - tmp_f);
+      const int br_x = static_cast<int>(mu_x + tmp_f + 1.f);
+      const int br_y = static_cast<int>(mu_y + tmp_f + 1.f);
+      const bool oob = (ul_x >= hm_w) || (ul_y >= hm_h) || (br_x < 0) ||
+                       (br_y < 0);
       const float w = oob ? 0.f : vx;
       weight[base] = w;
       if (w <= 0.5f) continue;
-      // window: offset in [-tmp_f, tmp_f + 1) — asymmetric when 3*sigma
-      // is fractional, matching ops/heatmap.render_udp exactly
-      const int lo_off = -static_cast<int>(std::floor(tmp_f));
-      const int hi_off = static_cast<int>(std::ceil(tmp_f + 1.f)) - 1;
-      const int y_lo = std::max(0, mu_y + lo_off);
-      const int y_hi = std::min(hm_h - 1, mu_y + hi_off);
-      const int x_lo = std::max(0, mu_x + lo_off);
-      const int x_hi = std::min(hm_w - 1, mu_x + hi_off);
+      // reference anchor: ul + size//2 + (continuous - snapped)
+      // (top_down_transform.py:262-268)
+      const float cx = static_cast<float>(ul_x) + x0 + (ax - mu_x);
+      const float cy = static_cast<float>(ul_y) + x0 + (ay - mu_y);
+      const int y_lo = std::max(0, ul_y);
+      const int y_hi = std::min(hm_h, br_y) - 1;
+      const int x_lo = std::max(0, ul_x);
+      const int x_hi = std::min(hm_w, br_x) - 1;
       for (int y = y_lo; y <= y_hi; ++y) {
         const float dy = static_cast<float>(y) - cy;
         float* row = tgt + static_cast<size_t>(y) * hm_w;

@@ -28,6 +28,12 @@ def parse_args():
                    "(slower; identical outputs)")
     p.add_argument("--backbone-ckpt", default=None)
     p.add_argument("--cfg-options", nargs="+", default=[])
+    # multi-host eval (reference multi_gpu_test, apis/test.py:50-198):
+    # each process evaluates its episode shard on its local devices and
+    # records are allgathered before metric computation
+    p.add_argument("--dist-coordinator", default=None)
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     return p.parse_args()
 
 
@@ -42,8 +48,12 @@ def main():
     from edgecape_tpu.config import Config
     from edgecape_tpu.data.mp100 import MP100Dataset
     from edgecape_tpu.eval.runner import append_testing_log, run_eval
+    from edgecape_tpu.parallel import multihost
     from edgecape_tpu.parallel.mesh import make_mesh
     from edgecape_tpu.train import checkpoint as ck
+
+    multihost.initialize(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
 
     cfg = Config.from_file(args.config).override(args.cfg_options)
     if args.work_dir:
@@ -61,14 +71,18 @@ def main():
     from edgecape_tpu.models.convert import load_backbone
     backbone = load_backbone(args.backbone_ckpt, cfg.model.image_size)
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    # eval parallelism is per-process: each process drives its LOCAL
+    # devices over its episode shard; results meet in the host allgather
+    local = jax.local_devices()
+    mesh = make_mesh(local) if len(local) > 1 else None
     est = PoseEstimator(cfg, backbone_params=backbone,
                         head_params=head_params, mesh=mesh)
     results = run_eval(ds, est, batch_size=args.batch_size,
                        res_folder=work_dir,
                        cache_supports=not args.no_cache_supports)
-    for k, v in results.items():
-        print(f"{k}: {v}")
+    if multihost.is_primary():
+        for k, v in results.items():
+            print(f"{k}: {v}")
     append_testing_log(work_dir, os.path.basename(args.config),
                        args.checkpoint or "<random>", results)
 

@@ -254,3 +254,47 @@ def build_reference_head(model_cfg, *, learn_skeleton=False,
     h.eval()
     sd = {"keypoint_head_module." + k: v for k, v in h.state_dict().items()}
     return h, sd
+
+
+_pipeline_mod = None
+
+
+def load_reference_pipeline():
+    """Import the reference datasets/pipelines/top_down_transform.py as an
+    executable golden for the target generators (MSRA multi-sigma, UDP
+    GaussianHeatMap/CombinedTarget). Reuses load_reference()'s stub
+    strategy; only registry/unused-function glue is stubbed."""
+    global _pipeline_mod
+    if _pipeline_mod is not None:
+        return _pipeline_mod
+    load_reference()  # installs the mmcv/mmpose stub base
+
+    mmcv = sys.modules["mmcv"]
+    if not hasattr(mmcv, "fileio"):
+        mmcv.fileio = _make_module("mmcv.fileio")
+    reg = sys.modules["mmcv.utils"].Registry
+    PIPELINES = reg("pipelines")
+    _make_module("mmpose.datasets")
+    _make_module("mmpose.datasets.builder", PIPELINES=PIPELINES)
+
+    def _unused(*a, **k):
+        raise NotImplementedError("stub: not used by target generators")
+
+    pp = sys.modules["mmpose.core.post_processing"]
+    for fn in ("affine_transform", "fliplr_joints", "get_affine_transform",
+               "get_warp_matrix", "warp_affine_joints"):
+        if not hasattr(pp, fn):
+            setattr(pp, fn, _unused)
+
+    for name, path in [
+            ("EdgeCape.datasets", f"{REF_ROOT}/EdgeCape/datasets"),
+            ("EdgeCape.datasets.pipelines",
+             f"{REF_ROOT}/EdgeCape/datasets/pipelines")]:
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+
+    _pipeline_mod = importlib.import_module(
+        "EdgeCape.datasets.pipelines.top_down_transform")
+    return _pipeline_mod

@@ -125,6 +125,35 @@ def test_metrics_perfect_prediction(synth_root):
     assert res["EPE"] == 0.0
 
 
+def test_metrics_vectorized_matches_oracle(synth_root):
+    """The vectorized compute_metrics must agree with the per-record
+    oracle path (compute_metrics_reference) on noisy predictions with
+    invisible joints and tiny/degenerate bboxes."""
+    root, ann = synth_root
+    dcfg = _data_cfg(root, ann)
+    ds = MP100Dataset(dcfg, mode="test")
+    from edgecape_tpu.eval.runner import (compute_metrics,
+                                          compute_metrics_reference)
+    rng = np.random.default_rng(7)
+    records = []
+    for i, pair in enumerate(ds.paired_samples):
+        item = ds.db[pair[-1]]
+        kp = np.asarray(item["joints_3d"], dtype=np.float64).copy()
+        kp[:, :2] += rng.normal(scale=30.0, size=kp[:, :2].shape)
+        kp[:, 2] = 1.0
+        records.append({"keypoints": kp.tolist(), "bbox_id": i})
+    # degenerate bbox on one query: thr <= 0 excludes the whole record
+    ds.db[ds.paired_samples[0][-1]]["bbox"] = np.array([0, 0, 0, 0],
+                                                       dtype=np.float32)
+    got = compute_metrics(ds, records, ("PCK", "NME", "AUC", "EPE"))
+    want = compute_metrics_reference(ds, records,
+                                     ("PCK", "NME", "AUC", "EPE"))
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+
+
 def test_cached_eval_matches_uncached(synth_root):
     """Support-context caching must be output-identical to the per-query
     path (same params, same episodes)."""

@@ -120,3 +120,25 @@ def test_all_padded_sample_is_finite():
     mask0 = jnp.asarray(np.zeros((2, K), np.float32))  # nothing visible
     _, _, out = _run(cfg, (feat_q, feat_s, tgt_s, mask0, adj))
     assert np.isfinite(np.asarray(out.outputs)).all()
+
+
+def test_return_attn_maps():
+    """decode(return_attn=True) yields per-layer head-averaged kp->image
+    attention probabilities (reference return_attn_map,
+    encoder_decoder.py:391-392): shape [L, B, K, HW], rows sum to 1, and
+    the predictions are unchanged."""
+    cfg = _cfg(learn_skeleton=True)
+    inputs = _inputs()
+    model, params, out = _run(cfg, inputs)
+    enc = out.encode
+
+    fwd = jax.jit(lambda p: model.apply(
+        {"params": p}, enc.kp_tokens, enc.img_tokens, enc.proposals,
+        enc.adj, enc.hop_stack, enc.kp_valid, enc.img_pos,
+        return_attn=True, method=EdgeCape.decode))
+    outputs, _, attn = fwd(params)
+    assert attn.shape == (3, 2, K, G * G)
+    a = np.asarray(attn)
+    np.testing.assert_allclose(a.sum(axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(outputs),
+                               np.asarray(out.outputs), atol=1e-6)

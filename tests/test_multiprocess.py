@@ -1,0 +1,132 @@
+"""Two-process distributed runtime tests (jax.distributed over localhost
+CPU): the multi-host eval path (episode sharding + record allgather) and
+the multi-host train path (global batch arrays over a cross-process mesh)
+must match single-process results.
+
+Reference capability being reproduced: apis/test.py:50-198 multi_gpu_test
++ collect_results, train.py:123-137 init_dist.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from edgecape_tpu.config import Config, DataConfig, ModelConfig
+from edgecape_tpu.data import synthetic
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(REPO, "tests", "multiproc_driver.py")
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mp100mp")
+    ann = synthetic.generate(str(root), num_classes=3, images_per_class=8,
+                             image_size=128, seed=0)
+    return str(root), ann
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn(nproc, root, ann, out, mode):
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        procs.append(subprocess.Popen(
+            [sys.executable, DRIVER,
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", str(nproc), "--process-id", str(pid),
+             "--root", root, "--ann", ann, "--out", out, "--mode", mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=REPO))
+    outs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(stdout.decode())
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{o[-4000:]}"
+    return outs
+
+
+def _data_cfg(root, ann):
+    return DataConfig(ann_file=ann,
+                      img_prefix=os.path.join(root, "images"),
+                      num_shots=1, num_queries=2, num_episodes=2,
+                      image_size=56, heatmap_size=16, max_kpt=16,
+                      sigma=1.0)
+
+
+def test_two_process_eval_matches_single(synth_root, tmp_path):
+    root, ann = synth_root
+    out = str(tmp_path / "mp_eval")
+    os.makedirs(out, exist_ok=True)
+    _spawn(2, root, ann, out, "eval")
+    with open(os.path.join(out, "metrics.json")) as f:
+        dist = json.load(f)
+
+    # single-process baseline, same seed/params/episodes
+    import jax
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.data.mp100 import MP100Dataset
+    from edgecape_tpu.eval.runner import run_eval
+
+    dcfg = _data_cfg(root, ann)
+    cfg = Config(model=ModelConfig(image_size=56, heatmap_size=16,
+                                   max_kpt=16), test_data=dcfg)
+    ds = MP100Dataset(dcfg, mode="test")
+    est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    res = run_eval(ds, est, batch_size=6,
+                   res_folder=str(tmp_path / "single"), progress=False,
+                   cache_supports=True)
+    for k, v in dist.items():
+        np.testing.assert_allclose(v, res[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+
+
+def test_two_process_train_matches_single(synth_root, tmp_path):
+    root, ann = synth_root
+    out = str(tmp_path / "mp_train")
+    os.makedirs(out, exist_ok=True)
+    _spawn(2, root, ann, out, "train")
+    with open(os.path.join(out, "digest.json")) as f:
+        dist = json.load(f)
+
+    import jax
+    from edgecape_tpu.config import TrainConfig
+    from edgecape_tpu.data.mp100 import MP100Dataset
+    from edgecape_tpu.train.loop import Trainer
+
+    dcfg = _data_cfg(root, ann)
+    cfg = Config(model=ModelConfig(image_size=56, heatmap_size=16,
+                                   max_kpt=16),
+                 train_data=dcfg,
+                 train=TrainConfig(batch_size=8, total_epochs=1,
+                                   warmup_iters=2, num_workers=0,
+                                   ckpt_interval=1, eval_interval=100),
+                 work_dir=str(tmp_path / "single_train"))
+    ds = MP100Dataset(dcfg, mode="train")
+    trainer = Trainer(cfg, ds, None, mesh=None)
+    state = trainer.fit()
+    flat = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
+    digest = float(sum(np.abs(x).sum() for x in flat))
+    np.testing.assert_allclose(dist["param_l1"], digest, rtol=1e-4)

@@ -84,3 +84,103 @@ def test_udp_jnp_matches_numpy():
                                       (224, 224), 2.0)
         np.testing.assert_allclose(np.asarray(t_j)[b], t_n, atol=1e-5)
         np.testing.assert_allclose(np.asarray(w_j)[b], w_n, atol=1e-6)
+
+
+def _ref_generator(**kw):
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    import reference_shim
+    mod = reference_shim.load_reference_pipeline()
+    return mod.TopDownGenerateTargetFewShot(**kw)
+
+
+def _ref_results(joints, vis, image_size, heatmap_size):
+    k = joints.shape[0]
+    j3 = np.zeros((k, 3), np.float32)
+    j3[:, :2] = joints
+    v3 = np.zeros((k, 3), np.float32)
+    v3[:, 0] = vis
+    v3[:, 1] = vis
+    return {
+        "joints_3d": j3, "joints_3d_visible": v3,
+        "ann_info": {
+            "image_size": np.array([image_size, image_size]),
+            "heatmap_size": np.array([heatmap_size, heatmap_size]),
+            "joint_weights": np.ones((k, 1), np.float32),
+            "use_different_joint_weights": False,
+            "num_joints": k,
+        },
+    }
+
+
+def test_multi_sigma_matches_reference_generator():
+    """render_msra_multi vs the EXECUTABLE reference generator
+    (top_down_transform.py:330-345 multi-sigma stacking)."""
+    rng = np.random.default_rng(3)
+    k, size, hs = 9, 224, 64
+    joints = rng.uniform(-10, size + 10, size=(k, 2)).astype(np.float32)
+    vis = (rng.uniform(size=k) > 0.25).astype(np.float32)
+    sigmas = [1.0, 2.0, 2.5]
+    gen = _ref_generator(sigma=sigmas, encoding="MSRA")
+    out = gen(_ref_results(joints, vis, size, hs))
+    ref_t, ref_w = out["target"], out["target_weight"]
+    got_t, got_w = heatmap.render_msra_multi(joints, vis, (hs, hs),
+                                             (size, size), sigmas)
+    assert ref_t.shape == got_t.shape == (3, k, hs, hs)
+    np.testing.assert_allclose(got_t, ref_t, atol=1e-6)
+    np.testing.assert_array_equal(got_w, ref_w)
+
+
+def test_udp_combined_matches_reference_generator():
+    """render_udp_combined vs the EXECUTABLE reference generator
+    (top_down_transform.py:286-315 UDP CombinedTarget)."""
+    rng = np.random.default_rng(5)
+    k, size, hs = 7, 224, 64
+    joints = rng.uniform(0, size, size=(k, 2)).astype(np.float32)
+    vis = (rng.uniform(size=k) > 0.25).astype(np.float32)
+    gen = _ref_generator(sigma=2, encoding="UDP",
+                         target_type="CombinedTarget")
+    out = gen(_ref_results(joints, vis, size, hs))
+    ref_t, ref_w = out["target"], out["target_weight"]
+    got_t, got_w = heatmap.render_udp_combined(joints, vis, (hs, hs),
+                                               (size, size))
+    assert ref_t.shape == got_t.shape == (3 * k, hs, hs)
+    np.testing.assert_allclose(got_t, ref_t, atol=1e-5)
+    np.testing.assert_array_equal(got_w, ref_w)
+
+
+def test_msra_fractional_sigma_matches_reference_generator():
+    """sigma=2.5 (fractional 3*sigma): asymmetric window + shifted anchor
+    (reference top_down_transform.py:178-189) vs the executable golden."""
+    rng = np.random.default_rng(11)
+    k, size, hs = 12, 224, 64
+    joints = rng.uniform(-15, size + 15, size=(k, 2)).astype(np.float32)
+    vis = (rng.uniform(size=k) > 0.2).astype(np.float32)
+    gen = _ref_generator(sigma=2.5, encoding="MSRA")
+    out = gen(_ref_results(joints, vis, size, hs))
+    got_t, got_w = heatmap.render_msra(joints, vis, (hs, hs), (size, size),
+                                       2.5)
+    np.testing.assert_allclose(got_t, out["target"], atol=1e-6)
+    np.testing.assert_array_equal(got_w, out["target_weight"])
+    # device path agrees too
+    dt, dw = heatmap.render_msra_jnp(joints, vis, (hs, hs), (size, size),
+                                     2.5)
+    np.testing.assert_allclose(np.asarray(dt), out["target"], atol=1e-5)
+
+
+def test_udp_fractional_sigma_matches_reference_generator():
+    rng = np.random.default_rng(13)
+    k, size, hs = 12, 224, 64
+    joints = rng.uniform(-15, size + 15, size=(k, 2)).astype(np.float32)
+    vis = (rng.uniform(size=k) > 0.2).astype(np.float32)
+    gen = _ref_generator(sigma=2.5, encoding="UDP",
+                         target_type="GaussianHeatMap")
+    out = gen(_ref_results(joints, vis, size, hs))
+    got_t, got_w = heatmap.render_udp(joints, vis, (hs, hs), (size, size),
+                                      2.5)
+    np.testing.assert_allclose(got_t, out["target"], atol=1e-5)
+    np.testing.assert_array_equal(got_w, out["target_weight"])
+    dt, dw = heatmap.render_udp_jnp(joints, vis, (hs, hs), (size, size),
+                                    2.5)
+    np.testing.assert_allclose(np.asarray(dt), out["target"], atol=1e-5)

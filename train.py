@@ -35,6 +35,13 @@ def parse_args():
                    help="linearly scale lr by #devices/8")
     p.add_argument("--cfg-options", nargs="+", default=[],
                    help="dotted overrides, e.g. model.learn_skeleton=true")
+    # multi-host launch (reference train.py:61-65 dist launchers): one
+    # process per host, jax.distributed instead of NCCL init_dist
+    p.add_argument("--dist-coordinator", default=None,
+                   help="coordinator address host:port for multi-process "
+                   "runs")
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     return p.parse_args()
 
 
@@ -48,8 +55,12 @@ def main():
 
     from edgecape_tpu.config import Config
     from edgecape_tpu.data.mp100 import MP100Dataset
+    from edgecape_tpu.parallel import multihost
     from edgecape_tpu.parallel.mesh import make_mesh
     from edgecape_tpu.train.loop import Trainer
+
+    multihost.initialize(args.dist_coordinator, args.dist_num_processes,
+                         args.dist_process_id)
 
     cfg = Config.from_file(args.config).override(args.cfg_options)
     if args.work_dir:
@@ -65,7 +76,8 @@ def main():
         cfg = dataclasses.replace(cfg, train=train)
 
     os.makedirs(cfg.work_dir, exist_ok=True)
-    cfg.dump(os.path.join(cfg.work_dir, "config.json"))
+    if multihost.is_primary():
+        cfg.dump(os.path.join(cfg.work_dir, "config.json"))
 
     train_ds = MP100Dataset(cfg.train_data, mode="train")
     val_ds = (MP100Dataset(cfg.val_data, mode="val")
