@@ -86,6 +86,11 @@ class DataConfig:
     synthetic: bool = False          # use the synthetic MP-100 stand-in
     synthetic_num_classes: int = 10
     synthetic_images_per_class: int = 30
+    # dataset composition (reference build_dataset, builder.py:36-55):
+    # additional annotation files concatenated for joint training, and
+    # whole-dataset repetition per epoch
+    extra_ann_files: Optional[Sequence[str]] = None
+    repeat_times: int = 1
 
 
 @dataclass

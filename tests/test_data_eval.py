@@ -221,3 +221,44 @@ def test_pin_query_images(synth_root):
     assert 0 < len(pinned) < len(base)
     for p in pinned.paired_samples:
         assert os.path.basename(pinned.db[p[-1]]["image_file"]) in set(names)
+
+
+def test_repeat_and_concat_datasets(synth_root):
+    """Reference build_dataset surface (builder.py:36-55): RepeatDataset
+    and ConcatDataset wrappers compose with the collate/Prefetcher
+    interface and reproduce the underlying datasets' batches."""
+    from edgecape_tpu.data.compose import (ConcatDataset, RepeatDataset,
+                                           build_train_dataset)
+
+    root, ann = synth_root
+    cfg = _data_cfg(root, ann)
+    base = MP100Dataset(cfg, mode="test")
+
+    rep = RepeatDataset(base, 3)
+    assert len(rep) == 3 * len(base)
+    b1 = base.collate([1, 2], rng=None, masking_ratio=0.0)
+    b2 = rep.collate([1 + len(base), 2 + 2 * len(base)], rng=None,
+                     masking_ratio=0.0)
+    np.testing.assert_array_equal(b1.img_q, b2.img_q)
+    np.testing.assert_array_equal(b1.joints_q, b2.joints_q)
+
+    other = MP100Dataset(cfg, mode="test")
+    cat = ConcatDataset([base, other])
+    assert len(cat) == 2 * len(base)
+    # a batch spanning both children, in interleaved order
+    idx = [0, len(base) + 1, 2, len(base) + 3]
+    got = cat.collate(idx, rng=None, masking_ratio=0.0)
+    want0 = base.collate([0, 2], rng=None, masking_ratio=0.0)
+    want1 = other.collate([1, 3], rng=None, masking_ratio=0.0)
+    np.testing.assert_array_equal(got.img_q[0], want0.img_q[0])
+    np.testing.assert_array_equal(got.img_q[2], want0.img_q[1])
+    np.testing.assert_array_equal(got.img_q[1], want1.img_q[0])
+    np.testing.assert_array_equal(got.img_q[3], want1.img_q[1])
+    assert got.meta["query_image_file"][1] == \
+        want1.meta["query_image_file"][0]
+
+    built = build_train_dataset(dataclasses.replace(
+        cfg, extra_ann_files=[ann], repeat_times=2))
+    base_train = MP100Dataset(cfg, mode="train")
+    assert len(built) == 4 * len(base_train)
+    built.resample_episodes()   # passthrough works

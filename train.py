@@ -79,7 +79,8 @@ def main():
     if multihost.is_primary():
         cfg.dump(os.path.join(cfg.work_dir, "config.json"))
 
-    train_ds = MP100Dataset(cfg.train_data, mode="train")
+    from edgecape_tpu.data.compose import build_train_dataset
+    train_ds = build_train_dataset(cfg.train_data)
     val_ds = (MP100Dataset(cfg.val_data, mode="val")
               if cfg.val_data.ann_file else None)
     mesh = make_mesh() if n_dev > 1 else None
