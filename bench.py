@@ -113,7 +113,8 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
 
     dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
     mcfg = ModelConfig(learn_skeleton=True, attn_bias=True,
-                       use_bias_attn_module=True, compute_dtype=dtype)
+                       use_bias_attn_module=True, compute_dtype=dtype,
+                       head_dtype=dtype)
     cfg = Config(model=mcfg)
     est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
 

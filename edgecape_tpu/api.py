@@ -25,6 +25,16 @@ from .ops import affine
 from .ops.warp import IMAGENET_MEAN, IMAGENET_STD
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree (params / activations); bools and
+    ints (masks, group indices) pass through."""
+    def cast(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(dtype)
+        return a
+    return jax.tree.map(cast, tree)
+
+
 def _maybe_normalize(imgs):
     """uint8 images -> ImageNet-normalized float32 (no-op for floats,
     which arrive pre-normalized from the parity collate path)."""
@@ -147,19 +157,29 @@ class PoseEstimator:
                               method=type(model).encode_support)
             return ctx
 
+        head_dtype = jnp.dtype(self.cfg.model.head_dtype)
+
         def query_rows_fn(bb_params, head_params, ctx_rows, img_q):
             # ctx_rows: support context already gathered per query row
             feat_q = dinov2.extract_features(bb_params,
                                              _maybe_normalize(img_q),
                                              bb_cfg, dtype=dtype,
                                              use_flash=flash)
+            raw_adj = ctx_rows.raw_adj
+            if head_dtype != jnp.float32:
+                # hot phase in bf16: params cast at the boundary, flax
+                # promotion keeps scores/softargmax fp32 via
+                # preferred_element_type; coords cast back below
+                head_params = _cast_floats(head_params, head_dtype)
+                ctx_rows = _cast_floats(ctx_rows, head_dtype)
+                feat_q = feat_q.astype(head_dtype)
             enc = model.apply({"params": head_params}, feat_q, ctx_rows,
                               method=type(model).encode_query)
             outputs, _ = model.apply(
                 {"params": head_params}, enc.kp_tokens, enc.img_tokens,
                 enc.proposals, enc.adj, enc.hop_stack, enc.kp_valid,
                 enc.img_pos, method=type(model).decode)
-            return outputs[-1], enc.raw_adj
+            return outputs[-1].astype(jnp.float32), raw_adj
 
         def query_fn(bb_params, head_params, ctx, group, img_q):
             # gather each query row's support context

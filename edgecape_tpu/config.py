@@ -60,6 +60,11 @@ class ModelConfig:
     # numerics
     compute_dtype: str = "float32"  # 'bfloat16' for the fast path
     use_flash: bool = False         # Pallas fused attention in the head
+    # 'bfloat16' runs the cached-eval QUERY phase (encoder + decoder) in
+    # bf16 (params cast at the jit boundary; attention scores, softargmax
+    # and positional encodings stay fp32 via preferred_element_type).
+    # Support phase and the uncached/parity paths remain fp32.
+    head_dtype: str = "float32"
 
 
 @dataclass

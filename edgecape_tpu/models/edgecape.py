@@ -158,8 +158,32 @@ class EdgeCape(nn.Module):
             [img_pos, jnp.zeros((b, k, c.d_model), img_pos.dtype)], axis=1)
         valid = jnp.concatenate(
             [jnp.ones((b, hw), bool), ctx.kp_valid], axis=1)
-        for layer in self.encoder_layers:
-            tokens = layer(tokens, pos, valid, train=train)
+        if c.use_flash and not train and not self.is_initializing():
+            # fully-fused Pallas encoder layer (eval fast path): the
+            # position map is row-independent, so it ships once per
+            # program instead of inside the token stream
+            from ..ops.fused_encoder import fused_encoder_layer
+            from ..ops.pallas_config import interpret_default
+            interp = interpret_default()
+            p = self.variables["params"]
+            pos_row = pos[0]
+            for i in range(c.num_encoder_layers):
+                lp = p[f"enc{i}"]
+                at = lp["self_attn"]
+                tokens = fused_encoder_layer(
+                    tokens, pos_row, valid,
+                    at["q_proj"]["kernel"], at["q_proj"]["bias"],
+                    at["k_proj"]["kernel"], at["k_proj"]["bias"],
+                    at["v_proj"]["kernel"], at["v_proj"]["bias"],
+                    at["out_proj"]["kernel"], at["out_proj"]["bias"],
+                    lp["norm1"]["scale"], lp["norm1"]["bias"],
+                    lp["linear1"]["kernel"], lp["linear1"]["bias"],
+                    lp["linear2"]["kernel"], lp["linear2"]["bias"],
+                    lp["norm2"]["scale"], lp["norm2"]["bias"],
+                    num_heads=c.nhead, eps=1e-5, interpret=interp)
+        else:
+            for layer in self.encoder_layers:
+                tokens = layer(tokens, pos, valid, train=train)
         enc_img, enc_kp = tokens[:, :hw], tokens[:, hw:]
 
         prop_loss, sim, proposals = self.proposal_gen(enc_img, enc_kp,

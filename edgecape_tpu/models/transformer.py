@@ -276,6 +276,15 @@ class DecoderLayer(nn.Module):
         return x, img_tokens
 
 
+def _markov_bias_fn(lp, hops):
+    """Functional MarkovBiasMLP over its param subtree (for the fused
+    decoder path): hops [B, K, K, max_hops+1] -> [B, H, K, K]."""
+    h = hops @ lp["fc1"]["kernel"] + lp["fc1"]["bias"]
+    h = jax.nn.relu(h)
+    h = h @ lp["fc2"]["kernel"] + lp["fc2"]["bias"]
+    return h.transpose(0, 3, 1, 2).astype(jnp.float32)
+
+
 class RefPointHead(nn.Module):
     """2-layer MLP over the sine embedding of current coords
     (reference TransformerDecoder.ref_point_head)."""
@@ -337,24 +346,48 @@ class Decoder(nn.Module):
                  initial_proposals, adj, hop_stack=None, train: bool = False,
                  return_attn: bool = False):
         kp_valid = ensure_some_valid(kp_valid)
-        bi = jax.lax.stop_gradient(initial_proposals)
+        # coordinate trajectory stays fp32 even when tokens run bf16
+        # (head_dtype fast path): sub-pixel resolution matters here
+        bi = jax.lax.stop_gradient(initial_proposals.astype(jnp.float32))
         points = [bi]
         intermediate = []
         attn_maps = []
         x = kp_tokens
+        # fully-fused Pallas decoder layer (eval fast path, no attn-map
+        # extraction); the tiny Markov-bias MLP stays in XLA
+        use_fused = (self.use_flash and not train and not return_attn
+                     and not self.is_initializing())
+        if use_fused:
+            from ..ops.fused_decoder import fused_decoder_layer
+            from ..ops.pallas_config import interpret_default
+            interp = interpret_default()
+            p = self.variables["params"]
+            b, k = x.shape[:2]
         for i, layer in enumerate(self.layers):
             query_pos = pos_enc.sine_coords(bi, self.num_feats).astype(
                 x.dtype)
             query_pos = self.ref_point_head(query_pos)
-            out = layer(
-                x, img_tokens, kp_valid=kp_valid, kp_query_pos=query_pos,
-                img_pos=img_pos, hop_stack=hop_stack, adj=adj, train=train,
-                return_attn=return_attn)
-            if return_attn:
-                x, img_tokens, attn_map = out
-                attn_maps.append(attn_map)
+            if use_fused:
+                lp = p[f"layer{i}"]
+                if self.attn_bias and hop_stack is not None:
+                    bias = _markov_bias_fn(lp["bias_mlp"], hop_stack)
+                else:
+                    bias = jnp.zeros((b, self.nhead, k, k), jnp.float32)
+                x = fused_decoder_layer(
+                    x, query_pos, img_tokens, img_pos[0], kp_valid, bias,
+                    adj, lp, num_heads=self.nhead, eps=1e-5,
+                    interpret=interp)
             else:
-                x, img_tokens = out
+                out = layer(
+                    x, img_tokens, kp_valid=kp_valid,
+                    kp_query_pos=query_pos, img_pos=img_pos,
+                    hop_stack=hop_stack, adj=adj, train=train,
+                    return_attn=return_attn)
+                if return_attn:
+                    x, img_tokens, attn_map = out
+                    attn_maps.append(attn_map)
+                else:
+                    x, img_tokens = out
             intermediate.append(self.norm(x))
             delta = self.kpt_branches[i](x)
             bi_pred = jax.nn.sigmoid(inverse_sigmoid(bi) + delta)

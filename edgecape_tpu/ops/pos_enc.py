@@ -57,6 +57,9 @@ def sine_coords(coords: jnp.ndarray, num_feats: int = 128) -> jnp.ndarray:
       [..., 2*num_feats] embedding, ordered (y-feats, x-feats) like the
       reference forward_coordinates (positional_encoding.py:96-122).
     """
+    # fp32 internally: bf16 callers (head_dtype fast path) would lose
+    # coordinate resolution inside the 2*pi scaling and division
+    coords = coords.astype(jnp.float32)
     x = coords[..., 0] * SCALE
     y = coords[..., 1] * SCALE
     dim_t = _dim_t(num_feats)

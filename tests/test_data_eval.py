@@ -262,3 +262,42 @@ def test_repeat_and_concat_datasets(synth_root):
     base_train = MP100Dataset(cfg, mode="train")
     assert len(built) == 4 * len(base_train)
     built.resample_episodes()   # passthrough works
+
+
+def test_bf16_head_close_to_fp32(synth_root):
+    """head_dtype='bfloat16' (the production eval fast path) must stay
+    within sub-pixel distance of the fp32 path: coords agree to ~0.5px at
+    56px input (bf16 resolution), far below any PCK threshold."""
+    import jax
+    from edgecape_tpu.api import PoseEstimator
+
+    root, ann = synth_root
+    dcfg = _data_cfg(root, ann)
+    mcfg = ModelConfig(image_size=56, heatmap_size=16, max_kpt=16)
+    cfg32 = Config(model=mcfg, test_data=dcfg)
+    ds = MP100Dataset(dcfg, mode="test")
+    groups = ds.support_groups()[:2]
+    support, query, _ = ds.collate_group(groups)
+
+    est32 = PoseEstimator(cfg32, rng=jax.random.PRNGKey(0))
+    p32, _ = est32.forward_cached(support, query)
+    cfg16 = Config(model=dataclasses.replace(mcfg,
+                                             head_dtype="bfloat16"),
+                   test_data=dcfg)
+    est16 = PoseEstimator(cfg16, backbone_params=est32.backbone_params,
+                          head_params=est32.head_params)
+    p16, _ = est16.forward_cached(support, query)
+    assert str(p16.dtype) == "float32"
+    # compare only valid keypoints: padded slots carry arbitrary coords
+    # (mask-dominated tokens under random weights flip local-softargmax
+    # windows at any precision change)
+    valid = (support["vis_s"].prod(axis=1) > 0)[query["group"]]  # [Nq, K]
+    d = np.abs(np.asarray(p16) - np.asarray(p32))[valid]
+    # Under RANDOM weights the similarity map is noise, so the local
+    # 3x3-softargmax window can legitimately jump between near-tied peaks
+    # at any precision change (same would happen fp32-vs-fp64). Assert
+    # sub-pixel agreement in distribution instead of max: median and p90
+    # tight, window-jump outliers rare.
+    assert np.median(d) < 2e-3, np.median(d)
+    assert np.quantile(d, 0.9) < 0.01, np.quantile(d, 0.9)
+    assert (d > 0.02).mean() < 0.1, (d > 0.02).mean()
