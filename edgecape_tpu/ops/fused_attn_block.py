@@ -76,7 +76,10 @@ def fused_attn_block(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wproj,
     """y = x + layerscale * proj(MHA(LN(x))). x: [B, N, C]."""
     b, n, c = x.shape
     d = c // num_heads
-    n_pad = ((n + 127) // 128) * 128
+    # rows only need sublane (8) alignment: 257 ViT tokens pad to 264,
+    # not 384 — 31% fewer rows through every matmul; Mosaic masks the
+    # partial lane tile of the [Np, Np] score block
+    n_pad = ((n + 7) // 8) * 8
     xt = x.astype(jnp.bfloat16)
     if n_pad != n:
         xt = jnp.pad(xt, [(0, 0), (0, n_pad - n), (0, 0)])

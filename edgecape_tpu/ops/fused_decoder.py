@@ -150,6 +150,8 @@ def fused_decoder_layer(x, query_pos, img_tokens, img_pos, kp_valid, bias,
     param subtree. Returns [B, K, C] in x.dtype."""
     b, k, c = x.shape
     hw = img_tokens.shape[1]
+    # 128-lane alignment measures faster than sublane-only padding (the
+    # [Kp, Kp] score/adjacency blocks are lane-tiled on Kp)
     k_pad = ((k + 127) // 128) * 128
     f2 = params["gcn"]["conv"]["kernel"].shape[1]
 

@@ -100,6 +100,8 @@ def fused_encoder_layer(tokens, pos, key_valid, wq, bq, wk, bk, wv, bv,
     b, n, c = tokens.shape
     f_dim = w1.shape[1]
     d = c // num_heads
+    # 128-lane alignment measures faster here than sublane-only padding
+    # (356 -> 384): the [Np, Np] score block is lane-tiled on Np
     n_pad = ((n + 127) // 128) * 128
     xt = tokens.astype(jnp.bfloat16)
     post = pos.astype(jnp.bfloat16)[None]                   # [1, N, C]
