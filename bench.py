@@ -137,11 +137,13 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
                            QUERIES_PER_EPISODE),
     }
 
-    # NOTE: materialize outputs on host each iteration — on the axon tunnel
-    # block_until_ready() does not actually block, and eval decodes
-    # predictions host-side anyway, so this is the honest timing.
-    # keep inputs device-resident (the axon tunnel's ~33MB/s H2D is an
-    # artifact of this sandbox, not of a real TPU host)
+    # NOTE: predictions are materialized on host with a depth-2 pipeline —
+    # chunk i dispatches, then chunk i-1's outputs are pulled — exactly
+    # what eval/runner.py's cached loop does in production (host decode
+    # overlaps device compute + dispatch latency). block_until_ready()
+    # does not block on the axon tunnel, so the host pull IS the sync.
+    # Inputs stay device-resident (the tunnel's ~33MB/s H2D is an
+    # artifact of this sandbox, not of a real TPU host).
     support = {kk: jnp.asarray(v) for kk, v in support.items()}
     query_dev = {kk: jnp.asarray(v) for kk, v in query.items()}
     for _ in range(warmup):
@@ -151,10 +153,14 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
     base_img = query_dev["img_q"]
     for _ in range(2):  # two timing loops; first can absorb stragglers
         t0 = time.perf_counter()
+        prev = None
         for i in range(iters):
             query_dev["img_q"] = base_img + i * 1e-3
             pred, _ = est.forward_cached(support, query_dev)
-            np.asarray(pred)
+            if prev is not None:
+                np.asarray(prev)
+            prev = pred
+        np.asarray(prev)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     img_per_sec = nq * iters / best_dt

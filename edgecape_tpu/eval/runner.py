@@ -91,14 +91,14 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
         pool = ThreadPoolExecutor(max_workers=1)
         if chunks:
             pending = pool.submit(dataset.collate_group, chunks[0][0])
-        for ci in range(len(chunks)):
-            support, query, meta = pending.result()
-            real_groups = chunks[ci][1]
-            if ci + 1 < len(chunks):
-                pending = pool.submit(dataset.collate_group,
-                                      chunks[ci + 1][0])
-            pred_norm, _ = estimator.forward_cached(support, query)
-            n_real = int(np.sum(query["group"] < real_groups))
+
+        def drain(item):
+            """Materialize a finished chunk's device predictions and turn
+            them into result records (host work, overlaps device compute
+            on the NEXT chunk already in flight)."""
+            nonlocal n_done
+            pred_norm, query_group, real_groups, meta = item
+            n_real = int(np.sum(query_group < real_groups))
             coords = np.asarray(pred_norm)[:n_real] * size
             meta = {kk: (v[:n_real] if not isinstance(v, list)
                          else v[:n_real]) for kk, v in meta.items()}
@@ -111,6 +111,23 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
                 rate = n_done / max(time.time() - t0, 1e-9)
                 print(f"\reval {n_done}/{len(dataset)} "
                       f"({rate:.1f} img/s)", end="", flush=True)
+
+        # depth-2 pipeline: dispatch chunk i, THEN materialize chunk i-1 —
+        # the device (and its dispatch latency) overlaps host decode
+        in_flight = None
+        for ci in range(len(chunks)):
+            support, query, meta = pending.result()
+            real_groups = chunks[ci][1]
+            if ci + 1 < len(chunks):
+                pending = pool.submit(dataset.collate_group,
+                                      chunks[ci + 1][0])
+            pred_norm, _ = estimator.forward_cached(support, query)
+            prev, in_flight = in_flight, (pred_norm, query["group"],
+                                          real_groups, meta)
+            if prev is not None:
+                drain(prev)
+        if in_flight is not None:
+            drain(in_flight)
         pool.shutdown(wait=False)
     else:
         if nproc > 1:

@@ -79,9 +79,11 @@ def flash_mha(q, k, v, key_valid=None, *, interpret: bool = False):
 
     scale = 1.0 / math.sqrt(d)
     # single q-tile per (batch, head) when the query set is short (the
-    # ViT's 257 tokens, the head's <=356): K/V are DMA'd once per program
+    # ViT's 257 tokens, the head's <=356): K/V are DMA'd once per program.
+    # Query rows only need sublane (8) alignment — keys keep 128-lane
+    # padding below (they are the lane dim of the score block).
     if nq <= 512:
-        tile_q = _round_up(nq, 128 if nq >= 128 else 16)
+        tile_q = _round_up(nq, 8 if nq >= 128 else 16)
     else:
         tile_q = 128
     nq_pad = _round_up(nq, tile_q)
