@@ -157,3 +157,44 @@ def test_sharded_cached_eval_matches_single_device():
     pred8, _ = est8.forward_cached(support, query)
     np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred8),
                                atol=2e-5)
+
+
+def test_sharded_eval_with_fused_kernels_matches_single_device():
+    """Pallas fast paths under the mesh (VERDICT r1 item 2): with
+    use_flash forced on, the shard_map eval runs the fused encoder/
+    decoder kernels per shard (via the interpreter off-TPU) and matches
+    the single-device flax path to kernel tolerance."""
+    import dataclasses
+
+    import numpy as np
+
+    from edgecape_tpu.api import PoseEstimator
+
+    cfg = _cfg()
+    rng = np.random.default_rng(3)
+    g, s, nq_per = 8, 1, 2
+    support = {
+        "img_s": rng.normal(size=(g, s, 56, 56, 3)).astype(np.float32),
+        "joints_s": rng.uniform(5, 50, size=(g, s, K, 2)).astype(np.float32),
+        "vis_s": np.ones((g, s, K), np.float32),
+        "binary_adj": np.tile(np.eye(K, k=1, dtype=np.float32)
+                              + np.eye(K, k=-1, dtype=np.float32),
+                              (g, 1, 1)),
+    }
+    query = {
+        "img_q": rng.normal(size=(g * nq_per, 56, 56, 3)).astype(np.float32),
+        "group": np.repeat(np.arange(g, dtype=np.int32), nq_per),
+    }
+    est1 = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    pred1, _ = est1.forward_cached(support, query)
+
+    cfg_flash = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_flash=True))
+    est8 = PoseEstimator(cfg_flash, backbone_params=est1.backbone_params,
+                         head_params=est1.head_params, mesh=make_mesh())
+    pred8, _ = est8.forward_cached(support, query)
+    d = np.abs(np.asarray(pred1) - np.asarray(pred8))
+    # bf16 kernels vs fp32 flax: sub-pixel in distribution (see
+    # test_fused_decoder for the rationale on window-jump outliers)
+    assert np.median(d) < 5e-3, np.median(d)
+    assert (d > 0.05).mean() < 0.05, (d > 0.05).mean()
