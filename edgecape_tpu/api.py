@@ -273,6 +273,13 @@ class PoseEstimator:
         attn_maps [L, B, K, HW]) — the reference's return_attn_map path
         (encoder_decoder.py:391-392) for plot_attn/plot_heatmap renders.
         Not jitted for the mesh path; debug only."""
+        if getattr(self, "_debug_fwd", None) is not None:
+            fwd = self._debug_fwd
+            return fwd(self.backbone_params, self.head_params,
+                       jnp.asarray(batch.img_s), jnp.asarray(batch.img_q),
+                       jnp.asarray(batch.target_s),
+                       jnp.asarray(batch.weight_s),
+                       jnp.asarray(batch.binary_adj))
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
@@ -298,6 +305,7 @@ class PoseEstimator:
                 enc.img_pos, return_attn=True, method=type(model).decode)
             return outputs[-1], enc.raw_adj, enc.similarity, attn
 
+        self._debug_fwd = fwd   # cache: repeated calls must not recompile
         return fwd(self.backbone_params, self.head_params,
                    jnp.asarray(batch.img_s), jnp.asarray(batch.img_q),
                    jnp.asarray(batch.target_s),

@@ -70,8 +70,12 @@ class ConcatDataset:
             by_child.setdefault(di, []).append((pos, li))
         parts = {}
         for di, items in by_child.items():
+            sub_kw = dict(kw)
+            if isinstance(kw.get("rng"), (list, tuple)):
+                # per-sample rng plans follow their samples to the child
+                sub_kw["rng"] = [kw["rng"][pos] for pos, _ in items]
             batch = getattr(self.datasets[di], method)(
-                [li for _, li in items], **kw)
+                [li for _, li in items], **sub_kw)
             parts[di] = (batch, [pos for pos, _ in items])
         first = next(iter(parts.values()))[0]
         out = {}
@@ -109,7 +113,19 @@ class ConcatDataset:
         for d in self.datasets:
             d.resample_episodes()
 
+    # dataset-identity members that only make sense on a single child:
+    # silently delegating them to datasets[0] while len() reports the
+    # concatenated total would mispair eval records with ground truth
+    _IDENTITY_ATTRS = frozenset({
+        "db", "paired_samples", "support_groups", "collate_group",
+        "batches", "name2id", "img_prefix"})
+
     def __getattr__(self, name):
+        if name in ConcatDataset._IDENTITY_ATTRS:
+            raise AttributeError(
+                f"ConcatDataset does not expose {name!r}: it is a "
+                "train-composition wrapper; evaluate each child dataset "
+                "separately")
         return getattr(self.datasets[0], name)
 
 

@@ -34,7 +34,14 @@ class Prefetcher:
                  drop_last: bool = True, num_workers: int = 4,
                  prefetch_depth: int = 4,
                  use_native: Optional[bool] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 shard: Optional[tuple] = None):
+        """`shard=(index, count)` makes each of `count` processes collate
+        only its contiguous row slice of every (identically planned)
+        batch — host preprocessing scales with process count, and the
+        per-SAMPLE rng plan keeps each slice bit-identical to the
+        corresponding rows of the unsharded batch (the reference's
+        DistributedSampler equivalent for episodic batches)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -45,6 +52,13 @@ class Prefetcher:
         self.use_native = native.available() if use_native is None \
             else use_native
         self.rng = np.random.default_rng(seed)
+        if shard is not None:
+            index, count = shard
+            assert batch_size % count == 0, \
+                f"batch {batch_size} not divisible by {count} processes"
+            self.shard = (int(index), int(count))
+        else:
+            self.shard = None
 
     def _plan_epoch(self):
         order = np.arange(len(self.dataset))
@@ -55,18 +69,27 @@ class Prefetcher:
             chunk = order[start:start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
-            # deterministic per-batch augmentation stream
-            chunks.append((list(chunk),
-                           np.random.default_rng(self.rng.integers(2**63))))
+            # deterministic per-SAMPLE augmentation streams: any row
+            # slice of the batch reproduces exactly, independent of what
+            # other rows (or processes) consume
+            seeds = self.rng.integers(2**63, size=len(chunk))
+            rngs = [np.random.default_rng(s) for s in seeds]
+            chunks.append((list(chunk), rngs))
         return chunks
 
-    def _build(self, chunk, rng) -> EpisodeBatch:
+    def _build(self, chunk, rngs) -> EpisodeBatch:
         ds = self.dataset
+        if self.shard is not None:
+            i, p = self.shard
+            per = len(chunk) // p
+            chunk = chunk[i * per:(i + 1) * per]
+            rngs = rngs[i * per:(i + 1) * per]
         if self.use_native:
-            return ds.collate_native(chunk, rng=rng,
+            return ds.collate_native(chunk, rng=rngs,
                                      masking_ratio=self.masking_ratio,
                                      num_threads=1)
-        return ds.collate(chunk, rng=rng, masking_ratio=self.masking_ratio)
+        return ds.collate(chunk, rng=rngs,
+                          masking_ratio=self.masking_ratio)
 
     def epoch(self) -> Iterator[EpisodeBatch]:
         chunks = self._plan_epoch()

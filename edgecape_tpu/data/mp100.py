@@ -183,15 +183,18 @@ class MP100Dataset:
         return len(self.paired_samples)
 
     # ----------------------------------------------------------- loading
-    def _rand_mask(self, joint_weight: np.ndarray,
-                   masking_ratio: float) -> np.ndarray:
+    def _rand_mask(self, joint_weight: np.ndarray, masking_ratio: float,
+                   rng: Optional[np.random.Generator] = None) -> np.ndarray:
         """Zero a random masking_ratio of jointly-visible keypoints
-        (reference transformer_base_dataset.rand_mask)."""
+        (reference transformer_base_dataset.rand_mask). Draws from `rng`
+        when given (per-sample determinism for sharded loading), else
+        from global np.random like the reference."""
         mask = joint_weight.copy()
         n = int(mask.sum() * masking_ratio)
         idx = np.where(mask == 1)[0]
-        chosen = np.random.permutation(idx)[:n]
-        mask[chosen] = 0
+        perm = (rng.permutation(idx) if rng is not None
+                else np.random.permutation(idx))
+        mask[perm[:n]] = 0
         return mask
 
     def get_episode(self, idx: int, *, augment: Optional[bool] = None,
@@ -325,7 +328,9 @@ class MP100Dataset:
 
         images, inv_mats, all_joints, all_vis = [], [], [], []
         metas = []
-        for idx in indices:
+        per_sample = isinstance(rng, (list, tuple))
+        for bi, idx in enumerate(indices):
+            ep_rng = rng[bi] if per_sample else rng
             pair = self.paired_samples[idx]
             recs = [self.db[i] for i in pair]
             q_cs = None
@@ -334,8 +339,8 @@ class MP100Dataset:
                 center = np.asarray(rec["center"], np.float32)
                 scale = np.asarray(rec["scale"], np.float32)
                 rot = float(rec.get("rotation", 0))
-                if augment and rng is not None:
-                    scale, rot = random_scale_rotation(scale, cfg, rng)
+                if augment and ep_rng is not None:
+                    scale, rot = random_scale_rotation(scale, cfg, ep_rng)
                 joints = np.asarray(rec["joints_3d"], np.float32)[:, :2]
                 vis = (np.asarray(rec["joints_3d_visible"],
                                   np.float32)[:, 0] > 0).astype(np.float32)
@@ -387,7 +392,9 @@ class MP100Dataset:
                 self.db[pair[0]]["skeleton"], k)
             if masking_ratio > 0:
                 joint_w = weights[bi, :s].prod(axis=0)
-                rand_mask[bi] = self._rand_mask(joint_w, masking_ratio)
+                rand_mask[bi] = self._rand_mask(
+                    joint_w, masking_ratio,
+                    rng=rng[bi] if per_sample else None)
             centers[bi], scales[bi] = q_cs
             paths.append(qrec["image_file"])
             bbox_ids.append(int(idx))
@@ -428,9 +435,14 @@ class MP100Dataset:
         scales = np.zeros((b, 2), np.float32)
         paths, bbox_ids, cats = [], [], []
 
+        per_sample = isinstance(rng, (list, tuple))
         for bi, idx in enumerate(indices):
+            # rng may be one Generator for the whole batch (legacy) or a
+            # per-sample list — the latter makes any row slice of the
+            # batch bit-identical to the full collate (sharded loading)
+            ep_rng = rng[bi] if per_sample else rng
             supports, query, skeleton, pair = self.get_episode(
-                idx, augment=augment, rng=rng)
+                idx, augment=augment, rng=ep_rng)
             for si, sup in enumerate(supports):
                 img_s[bi, si] = sup.img
                 target_s[bi, si] = sup.target
@@ -444,7 +456,9 @@ class MP100Dataset:
             adj[bi] = graph.adjacency_from_edges(skeleton, k)
             if masking_ratio > 0:
                 joint_w = weight_s[bi].prod(axis=0)
-                rand_mask[bi] = self._rand_mask(joint_w, masking_ratio)
+                rand_mask[bi] = self._rand_mask(
+                    joint_w, masking_ratio,
+                    rng=ep_rng if per_sample else None)
             qrec = self.db[pair[-1]]
             centers[bi] = query.center
             scales[bi] = query.scale

@@ -77,6 +77,7 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
         groups = dataset.support_groups()
         if nproc > 1:
             groups = [groups[i] for i in multihost.shard_range(len(groups))]
+        n_total = sum(len(rows) for _, rows in groups)  # this shard's share
         nq = max((len(rows) for _, rows in groups), default=0)
         g_per_batch = max(1, min(batch_size // max(nq, 1), len(groups)))
         chunks = []
@@ -109,7 +110,7 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
             n_done += coords.shape[0]
             if progress:
                 rate = n_done / max(time.time() - t0, 1e-9)
-                print(f"\reval {n_done}/{len(dataset)} "
+                print(f"\reval {n_done}/{n_total} "
                       f"({rate:.1f} img/s)", end="", flush=True)
 
         # depth-2 pipeline: dispatch chunk i, THEN materialize chunk i-1 —
@@ -132,10 +133,12 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
     else:
         if nproc > 1:
             rows = list(multihost.shard_range(len(dataset)))
+            n_total = len(rows)
             batch_iter = (dataset.collate(rows[i:i + batch_size], rng=None,
                                           masking_ratio=0.0)
                           for i in range(0, len(rows), batch_size))
         else:
+            n_total = len(dataset)
             batch_iter = dataset.batches(batch_size, masking_ratio=0.0)
         for batch in batch_iter:
             pred_norm, _, _ = estimator.forward_batch(batch)
@@ -149,7 +152,7 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
             n_done += len(out["bbox_ids"])
             if progress:
                 rate = n_done / max(time.time() - t0, 1e-9)
-                print(f"\reval {n_done}/{len(dataset)} "
+                print(f"\reval {n_done}/{n_total} "
                       f"({rate:.1f} img/s)", end="", flush=True)
     if progress:
         print()
@@ -206,8 +209,23 @@ def _allgather_records(records):
     scale = field((2,), np.float32, lambda r: r["scale"])
     area = field((), np.float32, lambda r: r["area"])
     score = field((), np.float32, lambda r: r["score"])
-    image_id = field((), np.int64, lambda r: r["image_id"])
-    bbox_id = field((), np.int64, lambda r: r["bbox_id"])
+
+    def field_i64(get):
+        # process_allgather truncates int64 to int32 when jax_enable_x64
+        # is off (the default); ship hi/lo int32 halves instead so
+        # hash/timestamp-style COCO image ids survive the gather
+        arr = np.zeros((maxn,), np.int64)
+        for i, r in enumerate(records):
+            arr[i] = get(r)
+        hi = np.asarray(multihost.allgather(
+            (arr >> 32).astype(np.int32))).astype(np.int64)
+        lo = np.asarray(multihost.allgather(
+            (arr & 0xFFFFFFFF).astype(np.uint32).astype(np.int64)
+            .astype(np.int32))).astype(np.int64)
+        return (hi << 32) | (lo & 0xFFFFFFFF)
+
+    image_id = field_i64(lambda r: r["image_id"])
+    bbox_id = field_i64(lambda r: r["bbox_id"])
 
     out = []
     for p in range(len(counts)):

@@ -75,25 +75,32 @@ def replicate_global(tree: Any, mesh) -> Any:
         jax.tree.map(lambda a: jax.numpy.asarray(a), tree), mesh, P())
 
 
-def shard_batch_global(tree: Any, mesh, axis: str = "data") -> Any:
-    """Host batch tree (full copy on every process, leading batch axis)
-    -> batch-sharded global arrays. Each process contributes its
-    contiguous row block (batch must divide process_count)."""
+def shard_batch_global(tree: Any, mesh, axis: str = "data",
+                       already_local: bool = False) -> Any:
+    """Host batch tree -> batch-sharded global arrays.
+
+    already_local=False: every process holds the FULL batch and
+    contributes its contiguous row block (batch must divide
+    process_count). already_local=True: each process holds only ITS row
+    block (e.g. a sharded Prefetcher) and the blocks concatenate into
+    the global batch in process order."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     sharding = NamedSharding(mesh, P(axis))
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
     from jax.experimental import multihost_utils
-    p, i = jax.process_count(), jax.process_index()
+    if not already_local:
+        p, i = jax.process_count(), jax.process_index()
 
-    def slice_local(a):
-        n = a.shape[0]
-        assert n % p == 0, f"batch {n} not divisible by {p} processes"
-        per = n // p
-        return a[i * per:(i + 1) * per]
+        def slice_local(a):
+            n = a.shape[0]
+            assert n % p == 0, f"batch {n} not divisible by {p} processes"
+            per = n // p
+            return a[i * per:(i + 1) * per]
 
+        tree = jax.tree.map(slice_local, tree)
     return multihost_utils.host_local_array_to_global_array(
-        jax.tree.map(slice_local, tree), mesh, P(axis))
+        tree, mesh, P(axis))
 
 
 def to_host(tree: Any) -> Any:

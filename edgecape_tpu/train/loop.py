@@ -293,9 +293,14 @@ class Trainer:
             params = multihost.to_host(params)
             backbone = multihost.to_host(backbone)
         if self._eval_estimator is None:
+            # evaluate over the LOCAL devices (each process drives its
+            # own chips; records meet in run_eval's allgather)
+            from ..parallel.mesh import make_mesh
+            local = jax.local_devices()
+            eval_mesh = make_mesh(local) if len(local) > 1 else None
             self._eval_estimator = PoseEstimator(
                 self.cfg, backbone_params=backbone,
-                head_params=params, mesh=None)
+                head_params=params, mesh=eval_mesh)
         est = self._eval_estimator
         est.head_params = params
         est.backbone_params = backbone
@@ -322,11 +327,16 @@ class Trainer:
             # (configs/train/1shot_split1.py:27-32)
             from ..utils.tb_writer import SummaryWriter
             tb = SummaryWriter(os.path.join(cfg.work_dir, "tf_logs"))
+        # multi-process: identical batch PLANS everywhere, but each
+        # process collates only its row slice (host work scales with
+        # process count); slices concatenate into the global batch below
+        shard = ((jax.process_index(), jax.process_count())
+                 if self.multiprocess else None)
         loader = Prefetcher(self.train_ds, cfg.train.batch_size,
                             shuffle=True, masking_ratio=masking,
                             drop_last=True,
                             num_workers=cfg.train.num_workers,
-                            seed=cfg.train.seed)
+                            seed=cfg.train.seed, shard=shard)
 
         for epoch in range(self.start_epoch, cfg.train.total_epochs):
             t0 = time.time()
@@ -335,10 +345,11 @@ class Trainer:
                 self.rng, step_rng = jax.random.split(self.rng)
                 arrays = batch_to_device_arrays(batch)
                 if self.multiprocess:
-                    # identical seeded batches on every process; each
-                    # contributes its row block to the global batch
+                    # the sharded Prefetcher produced only this process's
+                    # row block; blocks concatenate into the global batch
                     from ..parallel import multihost
-                    arrays = multihost.shard_batch_global(arrays, self.mesh)
+                    arrays = multihost.shard_batch_global(
+                        arrays, self.mesh, already_local=True)
                 self.state, metrics = self.train_step(
                     self.state, self.backbone_params, arrays, step_rng)
                 n_it += 1

@@ -111,28 +111,34 @@ def plot_attn(query_img, attn_maps, kpt_indices, out_dir,
     g = int(round(hw ** 0.5))
     hq, wq = query_img.shape[:2]
     n_kp = len(kpt_indices)
-    n_rows = n_kp + (1 if gt_adj is not None or learned_adj is not None
-                     else 0)
-    fig, axes = plt.subplots(n_rows, n_layers,
-                             figsize=(4 * n_layers, 4 * n_rows),
+    n_mats = int(gt_adj is not None) + int(learned_adj is not None)
+    n_rows = n_kp + (1 if n_mats else 0)
+    # enough columns for the adjacency row even with a 1-layer decoder
+    n_cols = max(n_layers, n_mats, 1)
+    fig, axes = plt.subplots(n_rows, n_cols,
+                             figsize=(4 * n_cols, 4 * n_rows),
                              squeeze=False)
     for r, ki in enumerate(kpt_indices):
-        for l in range(n_layers):
+        for l in range(n_cols):
             ax = axes[r, l]
+            if l >= n_layers:
+                ax.axis("off")
+                continue
             ax.imshow(np.clip(query_img, 0, 1))
             amap = attn[l, ki].reshape(g, g)
             ax.imshow(amap, alpha=0.6, extent=(0, wq, hq, 0), cmap="Reds")
             ax.set_title(f"kp {ki} / decoder layer {l}")
             ax.axis("off")
     if n_rows > n_kp:
-        mats = [("GT adjacency", gt_adj), ("learned adjacency",
-                                           learned_adj)]
-        for l in range(n_layers):
+        mats = [(t, m) for t, m in (("GT adjacency", gt_adj),
+                                    ("learned adjacency", learned_adj))
+                if m is not None]
+        for l in range(n_cols):
             ax = axes[n_kp, l]
-            title, mat = mats[l] if l < len(mats) else (None, None)
-            if mat is None:
+            if l >= len(mats):
                 ax.axis("off")
                 continue
+            title, mat = mats[l]
             ax.imshow(np.asarray(mat, np.float32), cmap="Reds")
             ax.set_title(title)
     os.makedirs(out_dir, exist_ok=True)

@@ -58,9 +58,30 @@ def test_prefetcher_matches_direct_collate(ds):
                     use_native=False, seed=0)
     first = next(pf.epoch())
     # shuffle=False: first batch is indices [0,1,2,3] with the same
-    # per-batch rng the planner created
-    rng = np.random.default_rng(
-        np.random.default_rng(0).integers(2**63))
-    ref = ds.collate([0, 1, 2, 3], rng=rng, masking_ratio=0.0)
+    # per-SAMPLE rng plan the planner created
+    seeds = np.random.default_rng(0).integers(2**63, size=4)
+    rngs = [np.random.default_rng(s) for s in seeds]
+    ref = ds.collate([0, 1, 2, 3], rng=rngs, masking_ratio=0.0)
     np.testing.assert_allclose(first.img_q, ref.img_q, atol=1e-6)
     np.testing.assert_array_equal(first.weight_q, ref.weight_q)
+
+
+def test_sharded_prefetcher_slices_match_full(ds):
+    """shard=(i, p): each process's batch must be bit-identical to its
+    row slice of the unsharded batch — the property that makes sharded
+    host collation safe for multi-process training."""
+    full = Prefetcher(ds, batch_size=4, num_workers=1, shuffle=True,
+                      use_native=False, seed=5, masking_ratio=0.5)
+    parts = [Prefetcher(ds, batch_size=4, num_workers=1, shuffle=True,
+                        use_native=False, seed=5, masking_ratio=0.5,
+                        shard=(i, 2)) for i in range(2)]
+    fb = next(full.epoch())
+    p0 = next(parts[0].epoch())
+    p1 = next(parts[1].epoch())
+    assert p0.img_q.shape[0] == p1.img_q.shape[0] == 2
+    np.testing.assert_array_equal(fb.img_q[:2], p0.img_q)
+    np.testing.assert_array_equal(fb.img_q[2:], p1.img_q)
+    np.testing.assert_array_equal(fb.img_s[:2], p0.img_s)
+    np.testing.assert_array_equal(fb.rand_mask[:2], p0.rand_mask)
+    np.testing.assert_array_equal(fb.rand_mask[2:], p1.rand_mask)
+    np.testing.assert_array_equal(fb.joints_q[2:], p1.joints_q)
