@@ -65,15 +65,22 @@ def build_interface(checkpoint=None, backbone_ckpt=None, size=256):
 
 
 def main():
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else None
     try:
         import gradio  # noqa: F401
     except ImportError:
-        print("gradio is not installed in this environment; the inference "
-              "path is available headless via demo.py:\n"
-              "  python demo.py --support s.png --query q.png "
-              "--annotation ann.json")
-        sys.exit(1)
-    ckpt = sys.argv[1] if len(sys.argv) > 1 else None
+        # fall back to the dependency-free interactive web UI served by
+        # serve.py (GET / — click keypoints + edges in the browser);
+        # same inference path, no gradio required
+        print("gradio is not installed; starting the stdlib web UI "
+              "(serve.py) instead — open http://localhost:8300/")
+        import serve
+        service = serve.PoseService(checkpoint=ckpt)
+        from http.server import ThreadingHTTPServer
+        httpd = ThreadingHTTPServer(("0.0.0.0", 8300),
+                                    serve.make_handler(service))
+        httpd.serve_forever()
+        return
     build_interface(checkpoint=ckpt).launch()
 
 

@@ -138,6 +138,96 @@ class PoseService:
         return {"keypoints": kp, "edge_weights": edges}
 
 
+INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>EdgeCape-TPU demo</title><style>
+body{font-family:sans-serif;margin:20px;background:#fafafa}
+.panes{display:flex;gap:24px;flex-wrap:wrap}
+canvas{border:1px solid #999;background:#fff;cursor:crosshair}
+#log{white-space:pre-wrap;color:#333;margin-top:12px}
+button{margin:4px}
+</style></head><body>
+<h2>EdgeCape-TPU — interactive one-shot keypoint transfer</h2>
+<p>1) Load a <b>support</b> image and click its keypoints. 2) Click pairs
+of keypoints to add skeleton edges (toggle mode below). 3) Load a
+<b>query</b> image and hit <b>Predict</b>.</p>
+<div>
+ support <input type="file" id="supFile" accept="image/*">
+ query <input type="file" id="qryFile" accept="image/*">
+ <button id="modeBtn">mode: keypoints</button>
+ <button id="undoBtn">undo</button>
+ <button id="predictBtn">Predict</button>
+</div>
+<div class="panes">
+ <div><h4>support</h4><canvas id="sup" width="384" height="384"></canvas></div>
+ <div><h4>query + prediction</h4><canvas id="qry" width="384" height="384"></canvas></div>
+</div>
+<div id="log"></div>
+<script>
+const S={kps:[],edges:[],mode:'kp',supImg:null,qryImg:null,supB64:null,
+         qryB64:null,pick:null,pred:null,edgeW:null};
+const sup=document.getElementById('sup'),qry=document.getElementById('qry');
+const log=m=>document.getElementById('log').textContent=m;
+function fit(img,c){const r=Math.min(c.width/img.width,c.height/img.height);
+ return {w:img.width*r,h:img.height*r,r:r};}
+function drawSup(){const c=sup.getContext('2d');c.clearRect(0,0,384,384);
+ if(!S.supImg)return;const f=fit(S.supImg,sup);
+ c.drawImage(S.supImg,0,0,f.w,f.h);
+ c.strokeStyle='#0a0';c.lineWidth=2;
+ for(const[a,b]of S.edges){c.beginPath();
+  c.moveTo(S.kps[a][0]*f.r,S.kps[a][1]*f.r);
+  c.lineTo(S.kps[b][0]*f.r,S.kps[b][1]*f.r);c.stroke();}
+ S.kps.forEach((p,i)=>{c.fillStyle=S.pick===i?'#fa0':'#d00';
+  c.beginPath();c.arc(p[0]*f.r,p[1]*f.r,5,0,7);c.fill();
+  c.fillStyle='#fff';c.font='9px sans-serif';
+  c.fillText(i,p[0]*f.r-3,p[1]*f.r+3);});}
+function drawQry(){const c=qry.getContext('2d');c.clearRect(0,0,384,384);
+ if(!S.qryImg)return;const f=fit(S.qryImg,qry);
+ c.drawImage(S.qryImg,0,0,f.w,f.h);
+ if(!S.pred)return;
+ c.strokeStyle='#06f';
+ for(const[a,b,w]of(S.edgeW||[])){if(w<=0)continue;
+  c.lineWidth=Math.max(1,4*w);c.beginPath();
+  c.moveTo(S.pred[a][0]*f.r,S.pred[a][1]*f.r);
+  c.lineTo(S.pred[b][0]*f.r,S.pred[b][1]*f.r);c.stroke();}
+ S.pred.forEach((p,i)=>{c.fillStyle='#d00';c.beginPath();
+  c.arc(p[0]*f.r,p[1]*f.r,5,0,7);c.fill();
+  c.fillStyle='#fff';c.font='9px sans-serif';
+  c.fillText(i,p[0]*f.r-3,p[1]*f.r+3);});}
+function loadFile(input,cb){const fr=new FileReader();
+ fr.onload=()=>{const img=new Image();
+  img.onload=()=>cb(img,fr.result.split(',')[1]);img.src=fr.result;};
+ fr.readAsDataURL(input.files[0]);}
+supFile.onchange=()=>loadFile(supFile,(img,b64)=>{S.supImg=img;
+ S.supB64=b64;S.kps=[];S.edges=[];drawSup();log('support loaded — click keypoints');});
+qryFile.onchange=()=>loadFile(qryFile,(img,b64)=>{S.qryImg=img;
+ S.qryB64=b64;S.pred=null;drawQry();log('query loaded');});
+sup.onclick=e=>{if(!S.supImg)return;const f=fit(S.supImg,sup);
+ const x=e.offsetX/f.r,y=e.offsetY/f.r;
+ if(S.mode==='kp'){S.kps.push([x,y]);}
+ else{let best=-1,bd=1e9;S.kps.forEach((p,i)=>{const d=(p[0]-x)**2+(p[1]-y)**2;
+   if(d<bd){bd=d;best=i;}});
+  if(best>=0){if(S.pick===null){S.pick=best;}else{
+   if(S.pick!==best)S.edges.push([S.pick,best]);S.pick=null;}}}
+ drawSup();};
+modeBtn.onclick=()=>{S.mode=S.mode==='kp'?'edge':'kp';S.pick=null;
+ modeBtn.textContent='mode: '+(S.mode==='kp'?'keypoints':'edges');};
+undoBtn.onclick=()=>{if(S.mode==='kp')S.kps.pop();else S.edges.pop();
+ drawSup();};
+predictBtn.onclick=async()=>{
+ if(!S.supB64||!S.qryB64||!S.kps.length){log('need support+keypoints+query');return;}
+ log('registering support...');
+ let r=await fetch('/support',{method:'POST',body:JSON.stringify(
+  {images:[S.supB64],keypoints:S.kps,skeleton:S.edges})});
+ let j=await r.json();if(j.error){log('error: '+j.error);return;}
+ log('predicting...');
+ r=await fetch('/predict',{method:'POST',body:JSON.stringify(
+  {context_id:j.context_id,image:S.qryB64})});
+ j=await r.json();if(j.error){log('error: '+j.error);return;}
+ S.pred=j.keypoints;S.edgeW=j.edge_weights;drawQry();
+ log('done: '+S.pred.length+' keypoints');};
+</script></body></html>"""
+
+
 def make_handler(service: PoseService):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict):
@@ -152,6 +242,17 @@ def make_handler(service: PoseService):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True,
                                   "contexts": len(service.contexts)})
+            elif self.path in ("/", "/index.html"):
+                # interactive click-to-annotate UI (the reference's
+                # demo.py/app.py interaction surface, demo.py:119-180,
+                # with zero extra dependencies)
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "not found"})
 

@@ -75,3 +75,19 @@ def test_unknown_context(server):
                         {"context_id": "nope", "image": _b64_image(2)})
     assert status == 400
     assert "error" in out
+
+
+def test_index_page(server):
+    """GET / serves the interactive click-to-annotate UI (the reference
+    demo.py/app.py interaction surface, dependency-free)."""
+    import http.client
+    conn = http.client.HTTPConnection(*server, timeout=60)
+    conn.request("GET", "/")
+    resp = conn.getresponse()
+    body = resp.read().decode()
+    assert resp.status == 200
+    assert "EdgeCape-TPU" in body
+    # the annotation flow the JS drives: keypoint clicks, edge mode,
+    # /support + /predict endpoints
+    for needle in ("predictBtn", "/support", "/predict", "skeleton"):
+        assert needle in body, needle
