@@ -135,11 +135,16 @@ class PoseEstimator:
         sigma = self.cfg.test_data.sigma
 
         use_udp = self.cfg.test_data.use_udp
+        unbiased = getattr(self.cfg.test_data, "unbiased_encoding", False)
 
         def support_fn(bb_params, head_params, img_s, joints_s, vis_s,
                        binary_adj):
-            from .ops.heatmap import render_msra_jnp, render_udp_jnp
-            render = render_udp_jnp if use_udp else render_msra_jnp
+            from .ops.heatmap import (render_msra_jnp,
+                                      render_msra_unbiased_jnp,
+                                      render_udp_jnp)
+            render = (render_udp_jnp if use_udp
+                      else render_msra_unbiased_jnp if unbiased
+                      else render_msra_jnp)
             g, s = img_s.shape[:2]
             imgs = _maybe_normalize(
                 img_s.reshape((g * s,) + img_s.shape[2:]))

@@ -79,6 +79,10 @@ class DataConfig:
     max_kpt: int = 100
     sigma: float = 1.0
     use_udp: bool = False
+    # MSRA unbiased (Dark-pose style) target encoding: continuous
+    # sub-pixel gaussian center, no window truncation (reference
+    # top_down_transform.py:140-163; off in all shipped configs)
+    unbiased_encoding: bool = False
     # train-time augmentation (reference TopDownGetRandomScaleRotation)
     rot_factor: float = 15.0
     scale_factor: float = 0.15

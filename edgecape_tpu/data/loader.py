@@ -49,8 +49,15 @@ class Prefetcher:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch_depth = prefetch_depth
-        self.use_native = native.available() if use_native is None \
-            else use_native
+        if use_native is None:
+            # auto: the C++ core renders biased-MSRA / UDP targets only —
+            # fall back to the python collate for unbiased_encoding
+            # (explicit use_native=True still raises in collate_native)
+            unbiased = (getattr(dataset.cfg, "unbiased_encoding", False)
+                        and not dataset.cfg.use_udp)
+            self.use_native = native.available() and not unbiased
+        else:
+            self.use_native = use_native
         self.rng = np.random.default_rng(seed)
         if shard is not None:
             index, count = shard

@@ -37,6 +37,13 @@ def build_db(coco: CocoIndex, img_prefix: str, image_size,
     (transformer_dataset.py:128-222): bbox sanitization, joints padded to
     max_kpt, center/scale from the padded bbox, category skeleton attached.
 
+    check_files: True/"raise" raises on any missing image (episode-parity
+    guard, the safe default); "skip" drops the record exactly like the
+    reference TRAIN dataset (transformer_dataset.py:202 stats
+    os.path.exists and skips, shifting subsequent obj_ids); False never
+    stats, exactly like the reference TEST dataset (test_dataset.py:201-203
+    unconditionally appends).
+
     Returns (db, cat2obj).
     """
     db = []
@@ -71,7 +78,21 @@ def build_db(coco: CocoIndex, img_prefix: str, image_size,
                                            image_size=image_size)
             image_file = os.path.join(img_prefix, info["file_name"])
             if check_files and not os.path.exists(image_file):
-                continue
+                if check_files == "skip":
+                    # exact reference-train behavior: drop the record
+                    # (transformer_dataset.py:202). NOTE this shifts every
+                    # subsequent obj_id, so seeded episode draws are only
+                    # comparable to a reference run over the SAME partial
+                    # image set.
+                    continue
+                # default: fail loudly. A partially downloaded MP-100
+                # would otherwise produce plausible but non-comparable
+                # PCK numbers with no warning.
+                raise FileNotFoundError(
+                    f"annotation references missing image {image_file!r}; "
+                    "episode parity requires the full image set (or "
+                    "check_files='skip' for reference-train skip "
+                    "semantics, check_files=False to defer to load time)")
             cat2obj[ann["category_id"]].append(obj_id)
             db.append({
                 "image_file": image_file,
@@ -321,6 +342,10 @@ class MP100Dataset:
         from .pipeline import load_image, random_scale_rotation
 
         cfg = self.cfg
+        if getattr(cfg, "unbiased_encoding", False) and not cfg.use_udp:
+            raise NotImplementedError(
+                "the C++ core renders biased-MSRA targets; use collate() "
+                "for unbiased_encoding")
         augment = (self.mode == "train") if augment is None else augment
         b, s, k = len(indices), self.num_shots, cfg.max_kpt
         size = cfg.image_size

@@ -106,7 +106,10 @@ def preprocess(record: dict, cfg: DataConfig, *, augment: bool = False,
         joints_t[vis_mask] = affine.affine_transform_points(
             joints[vis_mask], mat)
         if with_target:
-            target, weight = heatmap.render_msra(
+            render = (heatmap.render_msra_unbiased
+                      if getattr(cfg, "unbiased_encoding", False)
+                      else heatmap.render_msra)
+            target, weight = render(
                 joints_t, visible, (cfg.heatmap_size, cfg.heatmap_size),
                 size, cfg.sigma)
         else:

@@ -204,7 +204,16 @@ def _allgather_records(records):
             arr[i] = get(r)
         return np.asarray(multihost.allgather(arr))   # [P, maxn, ...]
 
-    kp = field((k, 3), np.float32, lambda r: r["keypoints"])
+    def _kp_padded(r):
+        # processes may carry different local K (kdims gather above):
+        # zero-pad each record's keypoints to the global max so the
+        # fixed-shape row assignment never broadcasts-and-fails
+        a = np.asarray(r["keypoints"], np.float32)
+        out = np.zeros((k, 3), np.float32)
+        out[:a.shape[0]] = a
+        return out
+
+    kp = field((k, 3), np.float32, _kp_padded)
     center = field((2,), np.float32, lambda r: r["center"])
     scale = field((2,), np.float32, lambda r: r["scale"])
     area = field((), np.float32, lambda r: r["area"])
@@ -306,6 +315,14 @@ def compute_metrics(dataset: MP100Dataset, records, metric_list
         # threshold_head_box = [head_size, head_size])
         hs = np.array([[dataset.db[pair[-1]].get("head_size", 0.0)] * 2
                        for pair in dataset.paired_samples], np.float32)
+        if not (hs > 0).any():
+            # no annotation provides head_size: PCKh is unavailable, not
+            # 0.0 — omit the keys instead of reporting a misleading zero
+            import warnings
+            warnings.warn("PCKh requested but no record has head_size>0; "
+                          "omitting PCKh metrics", RuntimeWarning)
+            metric_list = [m for m in metric_list if m != "PCKh"]
+    if "PCKh" in metric_list:
         hvalid = masks & (hs > 0).all(axis=-1)[:, None]
         hnorm = np.where(hs <= 0, 1e6, hs)
         dh = np.linalg.norm((preds - gts) / hnorm[:, None, :], axis=-1)

@@ -145,6 +145,66 @@ def render_udp(joints_xy, visible, heatmap_size, image_size, sigma: float):
     return target, weight.astype(np.float32)
 
 
+def render_msra_unbiased(joints_xy, visible, heatmap_size, image_size,
+                         sigma: float):
+    """MSRA targets with `unbiased_encoding=True` (Dark-pose style;
+    reference top_down_transform.py:140-163): the gaussian is centered at
+    the CONTINUOUS sub-pixel coordinate, drawn over the full map (no
+    window truncation), and the in-bounds check uses float window bounds
+    (no int() snapping).
+
+    Args/returns match render_msra.
+    """
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    joints_xy = np.asarray(joints_xy, dtype=np.float32)
+    K = joints_xy.shape[0]
+    feat_stride = np.asarray(image_size, dtype=np.float32) / np.array(
+        [W, H], dtype=np.float32)
+    tmp_size = sigma * 3
+
+    mu = joints_xy[:, :2] / feat_stride               # [K, 2] continuous
+    ul = mu - tmp_size                                # float bounds
+    br = mu + tmp_size + 1
+    in_bounds = ~((ul[:, 0] >= W) | (ul[:, 1] >= H) | (br[:, 0] < 0)
+                  | (br[:, 1] < 0))
+    weight = (np.asarray(visible, dtype=np.float32).reshape(K)
+              * in_bounds.astype(np.float32)).reshape(K, 1)
+
+    xs = np.arange(W, dtype=np.float32)[None, None, :]
+    ys = np.arange(H, dtype=np.float32)[None, :, None]
+    dx = xs - mu[:, 0][:, None, None]
+    dy = ys - mu[:, 1][:, None, None]
+    g = np.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    draw = (weight[:, 0] > 0.5)[:, None, None]
+    return (g * draw).astype(np.float32), weight.astype(np.float32)
+
+
+def render_msra_unbiased_jnp(joints_xy, visible, heatmap_size, image_size,
+                             sigma: float):
+    """Device/batched version of render_msra_unbiased.
+    joints_xy [..., K, 2], visible [..., K] ->
+    (target [..., K, H, W], weight [..., K, 1])."""
+    W, H = int(heatmap_size[0]), int(heatmap_size[1])
+    feat_stride = jnp.asarray(image_size, dtype=jnp.float32) / jnp.array(
+        [W, H], dtype=jnp.float32)
+    tmp_size = sigma * 3
+
+    mu = joints_xy / feat_stride
+    ul = mu - tmp_size
+    br = mu + tmp_size + 1
+    in_bounds = ~((ul[..., 0] >= W) | (ul[..., 1] >= H) | (br[..., 0] < 0)
+                  | (br[..., 1] < 0))
+    weight = visible.astype(jnp.float32) * in_bounds.astype(jnp.float32)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    dx = xs[None, :] - mu[..., 0][..., None, None]
+    dy = ys[:, None] - mu[..., 1][..., None, None]
+    g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
+    draw = (weight > 0.5)[..., None, None]
+    return (g * draw).astype(jnp.float32), weight[..., None]
+
+
 def render_msra_multi(joints_xy, visible, heatmap_size, image_size, sigmas):
     """Multi-sigma MSRA stacking (reference top_down_transform.py:330-345):
     targets [S, K, H, W] and weights [S, K, 1], one slice per sigma."""

@@ -47,7 +47,13 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg,
     bb_dtype = jnp.dtype(mcfg.compute_dtype)
     hs = mcfg.heatmap_size
     sigma = cfg.train_data.sigma
-    render = render_udp_jnp if cfg.train_data.use_udp else render_msra_jnp
+    if cfg.train_data.use_udp:
+        render = render_udp_jnp
+    elif getattr(cfg.train_data, "unbiased_encoding", False):
+        from ..ops.heatmap import render_msra_unbiased_jnp
+        render = render_msra_unbiased_jnp
+    else:
+        render = render_msra_jnp
     # flash (internally bf16) only when the user opted into bf16
     # features; the fp32 default stays bit-exact XLA
     bb_flash = "auto" if bb_dtype == jnp.bfloat16 else False

@@ -30,6 +30,7 @@ import base64
 import json
 import threading
 import uuid
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -60,7 +61,11 @@ class PoseService:
             Config(model=mcfg),
             backbone_params=load_backbone(backbone_ckpt, size),
             head_params=head_params, rng=jax.random.PRNGKey(0))
-        self.contexts: dict = {}
+        # LRU-capped registry: the interactive UI POSTs /support on
+        # every Predict click, so device-array contexts would grow
+        # without bound over a long session otherwise
+        self.max_contexts = 32
+        self.contexts: "OrderedDict" = OrderedDict()
         self.lock = threading.Lock()
 
     @staticmethod
@@ -115,6 +120,8 @@ class PoseService:
         cid = uuid.uuid4().hex[:12]
         with self.lock:
             self.contexts[cid] = (ctx, skeleton, k_real)
+            while len(self.contexts) > self.max_contexts:
+                self.contexts.popitem(last=False)
         return cid
 
     def predict(self, payload: dict) -> dict:
@@ -124,6 +131,7 @@ class PoseService:
             if payload["context_id"] not in self.contexts:
                 raise KeyError("unknown context_id")
             ctx, skeleton, k_real = self.contexts[payload["context_id"]]
+            self.contexts.move_to_end(payload["context_id"])
         raw = self._decode_image(payload["image"])
         img, scale = self._prep(raw)
         _, q_fn, _ = self.est._cached_fns

@@ -7,6 +7,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 CLIS = ["train.py", "test.py", "run.py", "demo.py", "app.py", "serve.py",
         "bench.py", "scripts/convert_checkpoint.py"]
 

@@ -13,6 +13,8 @@ from edgecape_tpu.config import ModelConfig
 from edgecape_tpu.models.convert import convert_head
 from edgecape_tpu.models.edgecape import init_model
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 
 def _lin(sd, prefix, p):
     sd[prefix + ".weight"] = np.asarray(p["kernel"]).T

@@ -84,6 +84,7 @@ def test_rand_mask_ratio(synth_root):
         assert masked == int(visible * 0.5)
 
 
+@pytest.mark.slow
 def test_end_to_end_eval_random_weights(synth_root):
     """Full pipeline: synthetic COCO -> episodes -> backbone+head forward ->
     decode -> metrics. Random weights, so only protocol invariants are
@@ -188,6 +189,7 @@ def test_cached_eval_matches_uncached(synth_root):
             abs(r1[key] - r2[key]) / max(abs(r1[key]), 1e-9) < 0.02
 
 
+@pytest.mark.slow
 def test_cached_eval_five_shot(synth_root):
     """5-shot episodic eval through the cached path: shapes, grouping, and
     protocol invariants."""

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 
 from edgecape_tpu.models import dinov2
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 
 def test_shapes_random_init():
     cfg = dinov2.DinoV2Config(depth=2)

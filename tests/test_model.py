@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from edgecape_tpu.config import ModelConfig
 from edgecape_tpu.models.edgecape import EdgeCape
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 K = 12
 G = 4  # feature grid
 

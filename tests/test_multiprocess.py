@@ -19,6 +19,8 @@ import pytest
 from edgecape_tpu.config import Config, DataConfig, ModelConfig
 from edgecape_tpu.data import synthetic
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER = os.path.join(REPO, "tests", "multiproc_driver.py")
 

@@ -184,3 +184,26 @@ def test_udp_fractional_sigma_matches_reference_generator():
     dt, dw = heatmap.render_udp_jnp(joints, vis, (hs, hs), (size, size),
                                     2.5)
     np.testing.assert_allclose(np.asarray(dt), out["target"], atol=1e-5)
+
+
+def test_msra_unbiased_matches_reference_generator():
+    """render_msra_unbiased vs the EXECUTABLE reference generator with
+    unbiased_encoding=True (top_down_transform.py:140-163): continuous
+    sub-pixel center, full-map gaussian, float window-bound check."""
+    rng = np.random.default_rng(17)
+    k, size, hs = 12, 224, 64
+    joints = rng.uniform(-15, size + 15, size=(k, 2)).astype(np.float32)
+    vis = (rng.uniform(size=k) > 0.2).astype(np.float32)
+    for sigma in (2.0, 2.5):
+        gen = _ref_generator(sigma=sigma, encoding="MSRA",
+                             unbiased_encoding=True)
+        out = gen(_ref_results(joints, vis, size, hs))
+        got_t, got_w = heatmap.render_msra_unbiased(
+            joints, vis, (hs, hs), (size, size), sigma)
+        np.testing.assert_allclose(got_t, out["target"], atol=1e-6)
+        np.testing.assert_array_equal(got_w, out["target_weight"])
+        dt, dw = heatmap.render_msra_unbiased_jnp(
+            joints, vis, (hs, hs), (size, size), sigma)
+        np.testing.assert_allclose(np.asarray(dt), out["target"], atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(dw)[:, 0],
+                                      out["target_weight"][:, 0])

@@ -3,6 +3,7 @@ train paths must compile and run over a mesh with outputs matching the
 single-device path."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,8 @@ import jax.numpy as jnp
 from edgecape_tpu.config import Config, ModelConfig, TrainConfig
 from edgecape_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                         pad_to_multiple, replicated)
+
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
 
 K, G = 12, 4
 

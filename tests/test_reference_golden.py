@@ -22,6 +22,8 @@ from edgecape_tpu.models.edgecape import init_model  # noqa: E402
 from edgecape_tpu.ops import graph  # noqa: E402
 from reference_shim import build_reference_head, load_reference  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 B, S, K, G, HM, CB = 2, 2, 8, 4, 16, 384
 
 SKELETONS = [

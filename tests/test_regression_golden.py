@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from edgecape_tpu.config import ModelConfig
 from edgecape_tpu.models.edgecape import EdgeCape
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
                       "model_forward_v1.npz")
 

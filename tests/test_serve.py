@@ -10,6 +10,8 @@ from http.server import ThreadingHTTPServer
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 cv2 = pytest.importorskip("cv2")
 
 

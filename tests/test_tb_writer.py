@@ -6,6 +6,7 @@ import os
 import struct
 
 import numpy as np
+import pytest
 
 from edgecape_tpu.utils import tb_writer
 
@@ -48,6 +49,7 @@ def test_file_structure_is_tfrecord(tmp_path):
         assert b"brain.Event:2" in payload
 
 
+@pytest.mark.slow  # full Trainer epoch (~3 min on 1 core)
 def test_trainer_writes_events(tmp_path):
     """End-to-end: a 1-epoch Trainer run produces a readable event file
     with train/loss and train/lr curves."""

@@ -11,6 +11,8 @@ from edgecape_tpu.config import (Config, DataConfig, ModelConfig,
 from edgecape_tpu.data import synthetic
 from edgecape_tpu.data.mp100 import MP100Dataset
 
+pytestmark = pytest.mark.slow  # heavy jit/model suite; excluded by -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def synth(tmp_path_factory):
