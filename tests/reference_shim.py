@@ -36,6 +36,18 @@ def _make_module(name: str, **attrs):
     return mod
 
 
+def _ensure_module(name: str, **attrs):
+    """Get-or-create a stub module, adding `attrs` without clobbering an
+    existing module's other attributes (the shim loaders compose)."""
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
 def load_reference():
     """Install stubs and import the reference head modules (cached)."""
     global _loaded
@@ -274,8 +286,8 @@ def load_reference_pipeline():
         mmcv.fileio = _make_module("mmcv.fileio")
     reg = sys.modules["mmcv.utils"].Registry
     PIPELINES = reg("pipelines")
-    _make_module("mmpose.datasets")
-    _make_module("mmpose.datasets.builder", PIPELINES=PIPELINES)
+    _ensure_module("mmpose.datasets")
+    _ensure_module("mmpose.datasets.builder", PIPELINES=PIPELINES)
 
     def _unused(*a, **k):
         raise NotImplementedError("stub: not used by target generators")
@@ -298,3 +310,143 @@ def load_reference_pipeline():
     _pipeline_mod = importlib.import_module(
         "EdgeCape.datasets.pipelines.top_down_transform")
     return _pipeline_mod
+
+
+_datasets_mod = None
+
+
+def load_reference_datasets():
+    """Import the reference MP-100 dataset classes (TransformerPoseDataset,
+    TestPoseDataset and their bases) as EXECUTABLE goldens for the episodic
+    protocol: db construction, class-balanced train pairing, seeded
+    val/test episode generation, and `evaluate()` (mask construction, bbox
+    thresholds, sort/unique, metric aggregation).
+
+    Stub policy (same as load_reference): only external glue is stubbed —
+    xtcocotools.coco.COCO backed by edgecape_tpu.data.coco.CocoIndex,
+    json_tricks by stdlib json, the mmpose metric KERNELS
+    (keypoint_pck_accuracy/auc/epe/nme) by edgecape_tpu.eval.metrics (their
+    mmpose-faithful per-sample forms). Everything protocol-shaped —
+    sampling order, seeding, masks, thresholds, aggregation — executes
+    reference code from
+    /root/reference/EdgeCape/datasets/datasets/mp100/*.py.
+    """
+    global _datasets_mod
+    if _datasets_mod is not None:
+        return _datasets_mod
+    load_reference()  # installs the mmcv/mmpose stub base
+
+    import json as _stdjson
+
+    from edgecape_tpu.data.coco import CocoIndex
+    from edgecape_tpu.eval import metrics as _m
+
+    # ------------------------------------------------------- json_tricks
+    _ensure_module("json_tricks", dump=_stdjson.dump, load=_stdjson.load,
+                   dumps=_stdjson.dumps, loads=_stdjson.loads)
+
+    # ----------------------------------------------------- mmcv.parallel
+    class DataContainer:
+        def __init__(self, data, cpu_only=False, stack=False):
+            self._data = data
+            self.cpu_only = cpu_only
+            self.stack = stack
+
+        @property
+        def data(self):
+            return self._data
+
+    _ensure_module("mmcv.parallel", DataContainer=DataContainer)
+    sys.modules["mmcv"].parallel = sys.modules["mmcv.parallel"]
+
+    # ------------------------------------- mmpose metric kernels + glue
+    _ensure_module("mmpose.core.evaluation.top_down_eval",
+                   keypoint_pck_accuracy=_m.pck_accuracy,
+                   keypoint_auc=_m.auc, keypoint_epe=_m.epe,
+                   keypoint_nme=_m.nme)
+    Registry = sys.modules["mmcv.utils"].Registry
+    DATASETS = Registry("datasets")
+
+    class Compose:
+        """Identity pipeline stub: the goldens exercise db/episodes/
+        evaluate(), never __getitem__ (the pipeline stages have their own
+        executable goldens via load_reference_pipeline)."""
+
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, data):
+            return data
+
+    _ensure_module("mmpose.datasets", DATASETS=DATASETS)
+    _ensure_module("mmpose.datasets.pipelines", Compose=Compose)
+
+    # ------------------------------ xtcocotools backed by data/coco.py
+    class COCO:
+        """xtcocotools.coco.COCO API over CocoIndex — iteration orders
+        (file order for imgs/cats, per-image ann file order) match the
+        real COCO API, which the episode-parity tests rely on."""
+
+        def __init__(self, ann_file):
+            self._idx = CocoIndex(ann_file)
+            self.imgs = self._idx.imgs
+            self.cats = self._idx.cats
+            self.anns = self._idx.anns
+            self.dataset = self._idx.dataset
+
+        def getImgIds(self):
+            return self._idx.get_img_ids()
+
+        def getCatIds(self):
+            return self._idx.get_cat_ids()
+
+        def loadCats(self, ids):
+            if not isinstance(ids, (list, tuple)):
+                ids = [ids]
+            return [self.cats[i] for i in ids]
+
+        def loadImgs(self, ids):
+            if not isinstance(ids, (list, tuple)):
+                ids = [ids]
+            return [self.imgs[i] for i in ids]
+
+        def getAnnIds(self, imgIds=None, iscrowd=None):
+            if imgIds is None:
+                imgIds = self.getImgIds()
+            elif not isinstance(imgIds, (list, tuple)):
+                imgIds = [imgIds]
+            out = []
+            for i in imgIds:
+                out.extend(a["id"]
+                           for a in self._idx.img_anns(i, iscrowd=iscrowd))
+            return out
+
+        def loadAnns(self, ids):
+            if not isinstance(ids, (list, tuple)):
+                ids = [ids]
+            return [self.anns[i] for i in ids]
+
+    _ensure_module("xtcocotools", coco=_ensure_module("xtcocotools.coco",
+                                                      COCO=COCO))
+
+    # ------------------------- namespace packages over the reference tree
+    for name, path in [
+            ("EdgeCape.datasets", f"{REF_ROOT}/EdgeCape/datasets"),
+            ("EdgeCape.datasets.datasets",
+             f"{REF_ROOT}/EdgeCape/datasets/datasets"),
+            ("EdgeCape.datasets.datasets.mp100",
+             f"{REF_ROOT}/EdgeCape/datasets/datasets/mp100")]:
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+
+    tdm = importlib.import_module(
+        "EdgeCape.datasets.datasets.mp100.transformer_dataset")
+    tsm = importlib.import_module(
+        "EdgeCape.datasets.datasets.mp100.test_dataset")
+
+    _datasets_mod = types.SimpleNamespace(
+        TransformerPoseDataset=tdm.TransformerPoseDataset,
+        TestPoseDataset=tsm.TestPoseDataset, COCO=COCO)
+    return _datasets_mod
