@@ -90,10 +90,16 @@ def bench_train(mcfg, iters: int = 10, warmup: int = 3,
     for _ in range(warmup):
         state, metrics = step(state, bb, batch, key)
         float(metrics["loss"])
+    # Steps chain through the donated TrainState (true data dependency:
+    # step i cannot start before i-1's outputs), so timing the chain and
+    # syncing ONCE at the end measures real step latency. Syncing every
+    # step instead would add this sandbox's ~30ms tunnel round-trip per
+    # iteration — the production Trainer only pulls metrics at
+    # log_interval (train/loop.py fit), so it pays no per-step sync.
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, bb, batch, key)
-        float(metrics["loss"])   # host sync each step (honest timing)
+    float(metrics["loss"])   # host sync on the final step's output
     dt = time.perf_counter() - t0
     ms_per_step = dt / iters * 1000.0
     return ms_per_step, b * iters / dt
@@ -176,9 +182,11 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
     from edgecape_tpu.config import ModelConfig
 
     dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
+    # use_flash=True matches configs/_base.py's shipped recipe (custom_vjp
+    # Pallas attention in the train step; cached eval is unaffected)
     mcfg = ModelConfig(learn_skeleton=True, attn_bias=True,
-                       use_bias_attn_module=True, compute_dtype=dtype,
-                       head_dtype=dtype)
+                       use_bias_attn_module=True, use_flash=True,
+                       compute_dtype=dtype, head_dtype=dtype)
 
     per_chip = bench_eval(mcfg, groups=groups, iters=iters, warmup=warmup,
                           shots=shots)

@@ -29,7 +29,11 @@ def train_config(split: int, shots: int) -> Config:
     """Stage-1 base recipe (reference configs/train/1shot_split1.py):
     Adam 1e-5, warmup 1000, step [160,180], 100 epochs, batch 16."""
     return Config(
-        model=ModelConfig(),
+        # use_flash: the custom_vjp Pallas attention (train) and fused
+        # self-attention (uncached eval) in the head — the production TPU
+        # recipe. Off-TPU both fall back to the interpreter, so CPU runs
+        # should override model.use_flash=False.
+        model=ModelConfig(use_flash=True),
         train_data=_data(split, "train", shots),
         val_data=_data(split, "val", shots, num_queries=15,
                        num_episodes=100),

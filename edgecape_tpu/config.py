@@ -65,6 +65,13 @@ class ModelConfig:
     # and positional encodings stay fp32 via preferred_element_type).
     # Support phase and the uncached/parity paths remain fp32.
     head_dtype: str = "float32"
+    # Run the FROZEN backbone through the bf16 fused Pallas path inside
+    # the train step (TPU backends only). The backbone takes no gradients
+    # (reference model_freeze='skeleton' keeps it frozen, EdgeCape.py:61),
+    # so this only rounds the features to bf16 resolution while the head
+    # trains at compute_dtype. False = bit-exact XLA backbone at
+    # compute_dtype (the strict-parity mode).
+    train_backbone_fast: bool = True
 
 
 @dataclass

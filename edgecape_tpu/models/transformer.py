@@ -94,6 +94,23 @@ class MultiHeadAttention(nn.Module):
                 b, nq, self.embed_dim)
             return dense(self.embed_dim, "out_proj")(out)
 
+        # TRAIN fused path: custom_vjp Pallas kernels (fwd + recompute
+        # bwd, no HBM prob materialization), supporting the additive
+        # Markov bias (real dbias) and in-kernel attention-prob dropout
+        # (flash_attention.py flash_mha_train)
+        if (self.use_flash and nq == nk and nq <= 512 and train
+                and not return_probs):
+            from ..ops.flash_attention import flash_mha_train
+            from ..ops.pallas_config import interpret_default
+            rng = (self.make_rng("dropout") if self.dropout > 0.0
+                   else None)
+            out = flash_mha_train(
+                q, k, v, key_valid, bias, dropout_rate=self.dropout,
+                dropout_rng=rng,
+                interpret=interpret_default()).reshape(
+                b, nq, self.embed_dim)
+            return dense(self.embed_dim, "out_proj")(out)
+
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k,
                             preferred_element_type=jnp.float32)
         if bias is not None:

@@ -54,11 +54,18 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg,
         render = render_msra_unbiased_jnp
     else:
         render = render_msra_jnp
-    # flash (internally bf16) only when the user opted into bf16
-    # features; the fp32 default stays bit-exact XLA
+    # The backbone is FROZEN (no grads flow into it), so the bf16 fused
+    # Pallas path is valid under training; train_backbone_fast=True runs
+    # it on TPU backends regardless of compute_dtype (features get
+    # bf16-rounded; the head still trains at compute_dtype). Opting out
+    # (or a non-TPU backend) keeps the bit-exact XLA backbone.
+    bb_fast = (mcfg.train_backbone_fast
+               and jax.default_backend() == "tpu")
     bb_flash = "auto" if bb_dtype == jnp.bfloat16 else False
 
     def extract(bb_params, imgs):
+        if bb_fast:
+            return dinov2.fast_forward(bb_params, imgs, backbone_cfg)
         return dinov2.extract_features(bb_params, imgs, backbone_cfg,
                                        dtype=bb_dtype, use_flash=bb_flash)
 

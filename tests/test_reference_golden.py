@@ -32,20 +32,36 @@ SKELETONS = [
 ]
 
 
-def _cfg(**kw):
-    return ModelConfig(image_size=G * 14, heatmap_size=HM, max_kpt=K, **kw)
-
-
-def _inputs(seed=0):
-    """Shared random episode; returns (torch-side dict, jax-side dict)."""
+def _random_skeletons(k: int, seed: int):
+    """Per-sample plausible skeletons at arbitrary K: a chain plus random
+    chords (matches the synthetic-dataset category generator's shape)."""
     rng = np.random.default_rng(seed)
-    feat_q = rng.normal(size=(B, CB, G, G)).astype(np.float32)
-    feat_s = rng.normal(size=(S, B, CB, G, G)).astype(np.float32)
+    out = []
+    for _ in range(B):
+        edges = [[i, i + 1] for i in range(k - 1)]
+        for _ in range(max(1, k // 4)):
+            i, j = map(int, rng.choice(k, size=2, replace=False))
+            if [min(i, j), max(i, j)] not in edges:
+                edges.append([min(i, j), max(i, j)])
+        out.append(edges)
+    return out
+
+
+def _cfg(g=G, hm=HM, k=K, **kw):
+    return ModelConfig(image_size=g * 14, heatmap_size=hm, max_kpt=k, **kw)
+
+
+def _inputs(seed=0, *, s=S, k=K, g=G, hm=HM, skeletons=None):
+    """Shared random episode; returns (torch-side dict, jax-side dict)."""
+    skeletons = SKELETONS if skeletons is None else skeletons
+    rng = np.random.default_rng(seed)
+    feat_q = rng.normal(size=(B, CB, g, g)).astype(np.float32)
+    feat_s = rng.normal(size=(s, B, CB, g, g)).astype(np.float32)
     # plausible heatmaps: nonnegative with sparse peaks
     target_s = np.clip(
-        rng.normal(size=(S, B, K, HM, HM)), 0, None).astype(np.float32) ** 2
-    mask = np.ones((B, K), np.float32)
-    mask[0, 6:] = 0.0   # some invisible keypoints
+        rng.normal(size=(s, B, k, hm, hm)), 0, None).astype(np.float32) ** 2
+    mask = np.ones((B, k), np.float32)
+    mask[0, 3 * k // 4:] = 0.0   # some invisible keypoints
     mask[1, 3] = 0.0
     target_s *= mask[None, :, :, None, None]
 
@@ -54,10 +70,10 @@ def _inputs(seed=0):
         "feature_s": [torch.from_numpy(f) for f in feat_s],
         "target_s": [torch.from_numpy(t_) for t_ in target_s],
         "mask_s": torch.from_numpy(mask)[..., None],
-        "skeleton": SKELETONS,
+        "skeleton": skeletons,
     }
     binary_adj = np.stack([
-        graph.adjacency_from_edges(sk, K) for sk in SKELETONS])
+        graph.adjacency_from_edges(sk, k) for sk in skeletons])
     j = {
         "feat_q": jnp.asarray(feat_q.transpose(0, 2, 3, 1)),
         "feat_s": jnp.asarray(feat_s.transpose(1, 0, 3, 4, 2)),
@@ -68,9 +84,9 @@ def _inputs(seed=0):
     return t, j
 
 
-def _ours(cfg, sd, j):
+def _ours(cfg, sd, j, *, shots=S):
     model, params0 = init_model(__import__("jax").random.PRNGKey(0), cfg,
-                                batch=B, shots=S)
+                                batch=B, shots=shots)
     params = convert.convert_head(sd, cfg)
     # structural check: every param our model creates must be supplied by
     # the converter. (The converse doesn't hold at stage 1: the reference
@@ -245,3 +261,114 @@ def test_masked_reconstruction_branch_matches_reference():
 
     got = np.asarray(recon_fn(params))
     np.testing.assert_allclose(got, recon.numpy(), atol=5e-4)
+
+
+# ---------------------------------------------------------- production shapes
+# The shipped recipe runs K=100, a 16x16 feature grid (256 image tokens +
+# 100 kpt tokens = 356-token encoder), 64px heatmaps, S in {1, 5}
+# (configs/test/1shot_split1.py data_cfg). These exercise padding/masking
+# paths the tiny default shapes never see (reference encoder_decoder.py
+# 356-token concat, mask handling at 100 kpt slots).
+PROD_K, PROD_G, PROD_HM = 100, 16, 64
+
+
+@pytest.mark.parametrize("shots", [1, 5])
+def test_full_head_production_shapes_matches_reference(shots):
+    """Full forward parity at the production regime (skeleton+bias stage,
+    the full-machinery configuration)."""
+    cfg = _cfg(g=PROD_G, hm=PROD_HM, k=PROD_K, learn_skeleton=True,
+               attn_bias=True, use_bias_attn_module=True)
+    ref_head, sd = build_reference_head(cfg, learn_skeleton=True,
+                                        attn_bias=True, seed=13)
+    sks = _random_skeletons(PROD_K, seed=21)
+    t, j = _inputs(seed=17, s=shots, k=PROD_K, g=PROD_G, hm=PROD_HM,
+                   skeletons=sks)
+    ref_out, ref_prop, ref_sim, ref_adj = _run_reference(ref_head, t)
+
+    out = _ours(cfg, sd, j, shots=shots)
+    np.testing.assert_allclose(np.asarray(out.encode.similarity), ref_sim,
+                               atol=2e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.encode.proposals_for_loss),
+                               ref_prop, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.encode.adj), ref_adj,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.outputs), ref_out, atol=1e-3)
+
+
+def test_masked_branch_production_shapes_matches_reference():
+    """Stage-2 masked-reconstruction branch at production shapes
+    (encoder_decoder.py:212-237 semantics at the 356-token regime)."""
+    import jax
+
+    cfg = _cfg(g=PROD_G, hm=PROD_HM, k=PROD_K, learn_skeleton=True,
+               attn_bias=False, masked_supervision=True)
+    ref_head, sd = build_reference_head(cfg, learn_skeleton=True,
+                                        attn_bias=False,
+                                        masked_supervision=True, seed=19)
+    sks = _random_skeletons(PROD_K, seed=23)
+    t, j = _inputs(seed=29, s=1, k=PROD_K, g=PROD_G, hm=PROD_HM,
+                   skeletons=sks)
+
+    rng = np.random.default_rng(31)
+    rand_mask = np.ones((B, PROD_K), np.float32)
+    rand_mask[:, rng.choice(PROD_K, size=PROD_K // 2, replace=False)] = 0.0
+
+    ref_head.train()
+    for m in ref_head.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.eval()
+        if m.__class__.__name__ == "FairseqDropout":
+            m.eval()
+    with torch.no_grad():
+        _, _, _, recon, _ = ref_head(
+            t["feature_q"], t["feature_s"], t["target_s"], t["mask_s"],
+            t["skeleton"],
+            random_mask=torch.from_numpy(rand_mask)[..., None])
+    ref_head.eval()
+
+    model, _ = init_model(jax.random.PRNGKey(0), cfg, batch=B, shots=1)
+    params = convert.convert_head(sd, cfg)
+
+    def inner(mdl):
+        enc = mdl.encode(j["feat_q"], j["feat_s"], j["target_s"],
+                         j["mask_s"], j["binary_adj"], train=False)
+        masked = mdl.mask_tokens(enc.kp_tokens, jnp.asarray(rand_mask),
+                                 enc.kp_valid)
+        _, points = mdl.decode(masked, enc.img_tokens, enc.proposals,
+                               enc.adj, enc.hop_stack, enc.kp_valid,
+                               enc.img_pos, train=False)
+        return points[-1]
+
+    got = np.asarray(model.apply({"params": params},
+                                 method=lambda m: inner(m)))
+    np.testing.assert_allclose(got, recon.numpy(), atol=1e-3)
+
+
+def test_bf16_head_production_tolerance():
+    """bf16 head at production shapes vs the fp32 reference: documents the
+    achievable coordinate tolerance. Measured max |err| on the final-layer
+    normalized coordinates is ~6e-3 (outputs live in [0, 1]); the assert
+    pins 2e-2 with margin for kernel-scheduling variation."""
+    import jax
+
+    cfg = _cfg(g=PROD_G, hm=PROD_HM, k=PROD_K, learn_skeleton=True,
+               attn_bias=True, use_bias_attn_module=True)
+    ref_head, sd = build_reference_head(cfg, learn_skeleton=True,
+                                        attn_bias=True, seed=13)
+    sks = _random_skeletons(PROD_K, seed=21)
+    t, j = _inputs(seed=17, s=1, k=PROD_K, g=PROD_G, hm=PROD_HM,
+                   skeletons=sks)
+    ref_out, _, _, _ = _run_reference(ref_head, t)
+
+    model, _ = init_model(jax.random.PRNGKey(0), cfg, batch=B, shots=1)
+    params = convert.convert_head(sd, cfg)
+    to_bf16 = lambda x: (x.astype(jnp.bfloat16)  # noqa: E731
+                         if x.dtype == jnp.float32 else x)
+    params16 = jax.tree.map(to_bf16, params)
+    j16 = {kk: to_bf16(v) for kk, v in j.items()}
+    out = model.apply({"params": params16}, j16["feat_q"], j16["feat_s"],
+                      j16["target_s"], j16["mask_s"], j16["binary_adj"],
+                      train=False)
+    got = np.asarray(out.outputs, np.float32)
+    err = np.max(np.abs(got - ref_out))
+    assert err < 2e-2, f"bf16 head error {err:.4f} vs documented 2e-2"
