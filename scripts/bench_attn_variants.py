@@ -9,6 +9,7 @@ box: concurrent jobs skew everything).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -16,6 +17,9 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/edgecape_jax_cache")
 
@@ -94,6 +98,17 @@ def time_fn(fn, x, p, tag):
     return per_layer
 
 
+def chain_block(x, p):
+    from edgecape_tpu.ops.fused_vit_block import fused_vit_block
+    for _ in range(LAYERS):
+        x = fused_vit_block(x, p["lns"], p["lnb"], p["wq"], p["bq"],
+                            p["wk"], p["bk"], p["wv"], p["bv"], p["wp"],
+                            p["bp"], p["ls"], p["n2s"], p["n2b"], p["w1"],
+                            p["b1"], p["w2"], p["b2"], p["ls2"],
+                            num_heads=H)
+    return x
+
+
 def main():
     rng = np.random.default_rng(0)
     p = _params(rng)
@@ -105,6 +120,8 @@ def main():
         time_fn(chain_mlp, x, p, "ln_mlp")
     if which in ("all", "both"):
         time_fn(chain_both, x, p, "attn+mlp")
+    if which in ("all", "block"):
+        time_fn(chain_block, x, p, "vit_block(one kernel)")
 
 
 if __name__ == "__main__":

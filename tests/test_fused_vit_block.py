@@ -1,0 +1,43 @@
+import numpy as np
+
+import jax.numpy as jnp
+
+from edgecape_tpu.ops import fused_vit_block as fvb
+
+
+def _args(b=2, n=257, c=384, f=1536, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *sh, s=0.05: jnp.asarray(  # noqa: E731
+        rng.normal(size=sh) * s, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(b, n, c)), jnp.float32)
+    return (x,
+            mk(c, s=1.0), mk(c, s=0.1),            # ln1
+            mk(c, c), mk(c, s=0.1),                # q
+            mk(c, c), mk(c, s=0.1),                # k
+            mk(c, c), mk(c, s=0.1),                # v
+            mk(c, c), mk(c, s=0.1),                # proj
+            jnp.full(c, 0.1, jnp.float32),         # ls1
+            mk(c, s=1.0), mk(c, s=0.1),            # ln2
+            mk(c, f), mk(f, s=0.1),                # fc1
+            mk(f, c), mk(c, s=0.1),                # fc2
+            jnp.full(c, 0.1, jnp.float32))         # ls2
+
+
+def test_fused_vit_block_matches_two_kernel_reference():
+    args = _args()
+    ref = np.asarray(fvb.reference_vit_block(*args, num_heads=6))
+    out = np.asarray(fvb.fused_vit_block(*args, num_heads=6,
+                                         interpret=True))
+    assert np.abs(out - ref).max() < 0.05  # bf16 compute, two residuals
+    assert np.abs(out - ref).mean() < 0.005
+
+
+def test_fused_vit_block_padded_tokens():
+    """Token counts that need sublane padding (130 -> 136) must not leak
+    padded keys into real rows."""
+    args = _args(b=4, n=130)
+    ref = np.asarray(fvb.reference_vit_block(*args, num_heads=6))
+    out = np.asarray(fvb.fused_vit_block(*args, num_heads=6,
+                                         interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 0.05
