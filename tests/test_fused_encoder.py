@@ -92,3 +92,15 @@ def test_encode_query_fused_path_matches_flax():
     # proposals ride the fp32 similarity path; tighter
     d = np.abs(np.asarray(fused.proposals) - np.asarray(plain.proposals))
     assert np.median(d) < 5e-3
+
+
+def test_fused_encoder_layer_odd_batch_padding():
+    """b not divisible by the row group (e.g. the 510-query eval chunk):
+    the wrapper pads batch rows and slices them back; padded rows must
+    not perturb real ones."""
+    a3 = _args(b=3, seed=5)
+    ref = np.asarray(fe.reference_encoder_layer(*a3, num_heads=8))
+    out = np.asarray(fe.fused_encoder_layer(*a3, num_heads=8,
+                                            interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 0.05

@@ -41,3 +41,13 @@ def test_fused_vit_block_padded_tokens():
                                          interpret=True))
     assert out.shape == ref.shape
     assert np.abs(out - ref).max() < 0.05
+
+
+def test_fused_vit_block_odd_batch_padding():
+    """b not divisible by the row group: wrapper pads and slices back."""
+    args = _args(b=3, seed=3)
+    ref = np.asarray(fvb.reference_vit_block(*args, num_heads=6))
+    out = np.asarray(fvb.fused_vit_block(*args, num_heads=6,
+                                         interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 0.05
