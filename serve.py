@@ -17,7 +17,16 @@ Stdlib-only HTTP (no framework dependency):
   POST /predict   {"context_id": "...", "image": <b64>}
                 -> {"keypoints": [[x, y, score], ...],
                     "edge_weights": [[i, j, w], ...]}
-  GET  /healthz -> {"ok": true}
+  POST /predict_batch {"context_id": "...", "images": [<b64>, ...]}
+                -> {"results": [{"keypoints": [...]}, ...],
+                    "edge_weights": [[i, j, w], ...]}
+  GET  /healthz -> {"ok": true, "contexts": N, "stats": {...}}
+
+Batching: /predict_batch runs all queries for one episode in a single
+device dispatch (bucket-padded so only a handful of batch shapes ever
+compile). Concurrent /predict requests for the same context are
+transparently coalesced by a micro-batcher (--batch-window-ms) into one
+dispatch — the serving analogue of the eval loop's chunked queries.
 
 Keypoints are given in original support-image pixels; predictions return
 original query-image pixels (square-pad geometry inverted server-side).
@@ -29,11 +38,85 @@ import argparse
 import base64
 import json
 import threading
+import time
 import uuid
 from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+# batch shapes that ever reach the jitted query fn; padding to the next
+# bucket bounds recompiles to len(_BUCKETS) shapes per context geometry
+_BUCKETS = (1, 2, 4, 8, 16)
+
+
+class _MicroBatcher:
+    """Coalesces concurrent single-query requests into one device call.
+
+    Requests arriving within `window_s` of each other that target the
+    SAME support context are stacked and dispatched together. Each HTTP
+    thread blocks on its own event; the worker thread owns the device.
+    """
+
+    def __init__(self, service, window_s=0.008, max_batch=_BUCKETS[-1]):
+        self.service = service
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.cv = threading.Condition()
+        self.pending = []  # [(cid, img_norm, scale, slot, event)]
+        self.stopped = False
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, cid: str, img_norm: np.ndarray, scale: float) -> dict:
+        slot, ev = {}, threading.Event()
+        with self.cv:
+            self.pending.append((cid, img_norm, scale, slot, ev))
+            self.cv.notify()
+        if not ev.wait(timeout=600):
+            raise TimeoutError("batched dispatch timed out")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot
+
+    def stop(self):
+        with self.cv:
+            self.stopped = True
+            self.cv.notify()
+        self.thread.join(timeout=5)
+
+    def _run(self):
+        while True:
+            with self.cv:
+                while not self.pending and not self.stopped:
+                    self.cv.wait(0.5)
+                if self.stopped and not self.pending:
+                    return
+            if self.window_s > 0:
+                time.sleep(self.window_s)  # let concurrent requests land
+            with self.cv:
+                head_cid = self.pending[0][0]
+                take, rest = [], []
+                for item in self.pending:
+                    if item[0] == head_cid and len(take) < self.max_batch:
+                        take.append(item)
+                    else:
+                        rest.append(item)
+                self.pending = rest
+            imgs = np.stack([t[1] for t in take])
+            try:
+                preds, edges, k_real = self.service._dispatch(head_cid,
+                                                              imgs)
+            except Exception as e:  # noqa: BLE001 — fan error to callers
+                for _, _, _, slot, ev in take:
+                    slot["error"] = str(e)
+                    ev.set()
+                continue
+            for row, (_, _, scale, slot, ev) in enumerate(take):
+                slot["pred"] = preds[row]
+                slot["edges"] = edges
+                slot["k_real"] = k_real
+                ev.set()
 
 
 class PoseService:
@@ -67,6 +150,11 @@ class PoseService:
         self.max_contexts = 32
         self.contexts: "OrderedDict" = OrderedDict()
         self.lock = threading.Lock()
+        self.stats = {"dispatches": 0, "queries": 0, "max_batch": 0}
+        self.batcher: "_MicroBatcher | None" = None
+
+    def enable_batching(self, window_s=0.008):
+        self.batcher = _MicroBatcher(self, window_s=window_s)
 
     @staticmethod
     def _decode_image(b64: str) -> np.ndarray:
@@ -124,26 +212,68 @@ class PoseService:
                 self.contexts.popitem(last=False)
         return cid
 
-    def predict(self, payload: dict) -> dict:
+    def _dispatch(self, cid: str, imgs: np.ndarray):
+        """One device call for n same-context queries. imgs [n, H, W, 3]
+        normalized. Returns (pred [n, K, 2] in [0,1], edge list)."""
         import jax.numpy as jnp
 
         with self.lock:
-            if payload["context_id"] not in self.contexts:
+            if cid not in self.contexts:
                 raise KeyError("unknown context_id")
-            ctx, skeleton, k_real = self.contexts[payload["context_id"]]
-            self.contexts.move_to_end(payload["context_id"])
-        raw = self._decode_image(payload["image"])
-        img, scale = self._prep(raw)
+            ctx, skeleton, k_real = self.contexts[cid]
+            self.contexts.move_to_end(cid)
+        n = imgs.shape[0]
+        bucket = next(b for b in _BUCKETS if b >= n)
+        if bucket > n:  # edge-repeat pad to the bucket shape
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], bucket - n, axis=0)])
         _, q_fn, _ = self.est._cached_fns
-        pred, raw_adj = q_fn(self.est.backbone_params, self.est.head_params,
-                             ctx, jnp.zeros((1,), jnp.int32),
-                             jnp.asarray(img[None]))
-        pts = np.asarray(pred)[0] * self.size / scale  # original pixels
+        pred, raw_adj = q_fn(self.est.backbone_params,
+                             self.est.head_params, ctx,
+                             jnp.zeros((bucket,), jnp.int32),
+                             jnp.asarray(imgs))
         adj = np.asarray(raw_adj)[0]
-        edges = [[int(i), int(j), float(adj[i, j])]
-                 for i, j in skeleton]
-        kp = [[float(x), float(y), 1.0] for x, y in pts[:k_real]]
-        return {"keypoints": kp, "edge_weights": edges}
+        edges = [[int(i), int(j), float(adj[i, j])] for i, j in skeleton]
+        with self.lock:
+            self.stats["dispatches"] += 1
+            self.stats["queries"] += n
+            self.stats["max_batch"] = max(self.stats["max_batch"], n)
+        return np.asarray(pred)[:n], edges, k_real
+
+    def _row_to_keypoints(self, pred_row, scale, k_real):
+        pts = pred_row * self.size / scale  # original query pixels
+        return [[float(x), float(y), 1.0] for x, y in pts[:k_real]]
+
+    def predict(self, payload: dict) -> dict:
+        cid = payload["context_id"]
+        img, scale = self._prep(self._decode_image(payload["image"]))
+        if self.batcher is not None:
+            slot = self.batcher.submit(cid, img, scale)
+            pred_row, edges, k_real = (slot["pred"], slot["edges"],
+                                       slot["k_real"])
+        else:
+            preds, edges, k_real = self._dispatch(cid, img[None])
+            pred_row = preds[0]
+        return {"keypoints": self._row_to_keypoints(pred_row, scale,
+                                                    k_real),
+                "edge_weights": edges}
+
+    def predict_batch(self, payload: dict) -> dict:
+        """All queries for one episode in a single dispatch (chunked at
+        the largest bucket)."""
+        cid = payload["context_id"]
+        prepped = [self._prep(self._decode_image(b64))
+                   for b64 in payload["images"]]
+        results, edges = [], []
+        for lo in range(0, len(prepped), _BUCKETS[-1]):
+            chunk = prepped[lo:lo + _BUCKETS[-1]]
+            preds, edges, k_real = self._dispatch(
+                cid, np.stack([img for img, _ in chunk]))
+            results.extend(
+                {"keypoints": self._row_to_keypoints(preds[i], scale,
+                                                     k_real)}
+                for i, (_, scale) in enumerate(chunk))
+        return {"results": results, "edge_weights": edges}
 
 
 INDEX_HTML = """<!doctype html>
@@ -248,8 +378,11 @@ def make_handler(service: PoseService):
 
         def do_GET(self):
             if self.path == "/healthz":
+                with service.lock:
+                    stats = dict(service.stats)
                 self._reply(200, {"ok": True,
-                                  "contexts": len(service.contexts)})
+                                  "contexts": len(service.contexts),
+                                  "stats": stats})
             elif self.path in ("/", "/index.html"):
                 # interactive click-to-annotate UI (the reference's
                 # demo.py/app.py interaction surface, demo.py:119-180,
@@ -273,6 +406,8 @@ def make_handler(service: PoseService):
                     self._reply(200, {"context_id": cid})
                 elif self.path == "/predict":
                     self._reply(200, service.predict(payload))
+                elif self.path == "/predict_batch":
+                    self._reply(200, service.predict_batch(payload))
                 else:
                     self._reply(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001 — report to client
@@ -290,8 +425,13 @@ def main():
     p.add_argument("--backbone-ckpt", default=None)
     p.add_argument("--port", type=int, default=8300)
     p.add_argument("--size", type=int, default=224)
+    p.add_argument("--batch-window-ms", type=float, default=8.0,
+                   help="micro-batching window for concurrent /predict "
+                        "requests; 0 disables coalescing")
     args = p.parse_args()
     service = PoseService(args.checkpoint, args.backbone_ckpt, args.size)
+    if args.batch_window_ms >= 0:
+        service.enable_batching(window_s=args.batch_window_ms / 1e3)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(service))
     print(f"serving on :{args.port}")

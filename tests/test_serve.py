@@ -20,6 +20,7 @@ def server():
     import serve
 
     service = serve.PoseService(size=56, max_kpt=16)
+    service.enable_batching(window_s=0.05)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                 serve.make_handler(service))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -93,3 +94,77 @@ def test_index_page(server):
     # /support + /predict endpoints
     for needle in ("predictBtn", "/support", "/predict", "skeleton"):
         assert needle in body, needle
+
+
+def test_predict_batch_matches_single(server):
+    """/predict_batch: one dispatch for N queries, rows match the
+    single-query endpoint bit-for-bit (same bucket-padded batch path)."""
+    status, out = _post(server, "/support", {
+        "images": [_b64_image(3)],
+        "keypoints": [[15, 25], [70, 40], [30, 80], [50, 50]],
+        "skeleton": [[0, 1], [2, 3]],
+    })
+    assert status == 200, out
+    cid = out["context_id"]
+
+    queries = [_b64_image(s) for s in (4, 5, 6)]
+    status, batch = _post(server, "/predict_batch",
+                          {"context_id": cid, "images": queries})
+    assert status == 200, batch
+    assert len(batch["results"]) == 3
+    assert len(batch["edge_weights"]) == 2
+
+    for q, row in zip(queries, batch["results"]):
+        status, single = _post(server, "/predict",
+                               {"context_id": cid, "image": q})
+        assert status == 200, single
+        np.testing.assert_allclose(np.array(row["keypoints"]),
+                                   np.array(single["keypoints"]),
+                                   rtol=0, atol=1e-4)
+
+
+def test_concurrent_predicts_coalesce(server):
+    """Micro-batched concurrent /predict calls return correct results and
+    the /healthz stats show coalescing happened."""
+    import http.client
+
+    status, out = _post(server, "/support", {
+        "images": [_b64_image(7)],
+        "keypoints": [[10, 10], [80, 80]],
+        "skeleton": [[0, 1]],
+    })
+    assert status == 200, out
+    cid = out["context_id"]
+    # warm the bucket shapes so the coalesced window isn't dominated by
+    # a jit compile on the 1-core box
+    _post(server, "/predict_batch",
+          {"context_id": cid, "images": [_b64_image(s) for s in (8, 9)]})
+
+    conn = http.client.HTTPConnection(*server, timeout=60)
+    conn.request("GET", "/healthz")
+    before = json.loads(conn.getresponse().read())["stats"]
+
+    results = {}
+
+    def hit(seed):
+        results[seed] = _post(server, "/predict",
+                              {"context_id": cid,
+                               "image": _b64_image(seed)})
+
+    threads = [threading.Thread(target=hit, args=(s,))
+               for s in (10, 11, 12, 13)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for s in (10, 11, 12, 13):
+        status, pred = results[s]
+        assert status == 200, pred
+        assert len(pred["keypoints"]) == 2
+
+    conn = http.client.HTTPConnection(*server, timeout=60)
+    conn.request("GET", "/healthz")
+    after = json.loads(conn.getresponse().read())["stats"]
+    assert after["queries"] - before["queries"] == 4
+    # coalesced: the 4 concurrent requests shared device dispatches
+    assert after["dispatches"] - before["dispatches"] < 4
