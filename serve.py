@@ -20,6 +20,8 @@ Stdlib-only HTTP (no framework dependency):
   POST /predict_batch {"context_id": "...", "images": [<b64>, ...]}
                 -> {"results": [{"keypoints": [...]}, ...],
                     "edge_weights": [[i, j, w], ...]}
+  POST /reload    {"checkpoint": "<dir>"}   # head-weight hot swap
+                -> {"ok": true, "contexts_dropped": N}
   GET  /healthz -> {"ok": true, "contexts": N, "stats": {...}}
 
 Batching: /predict_batch runs all queries for one episode in a single
@@ -200,7 +202,9 @@ class PoseService:
         if getattr(self.est, "_cached_fns", None) is None:
             self.est._cached_fns = self.est._build_cached_fns()
         sup_fn, _, _ = self.est._cached_fns
-        ctx = sup_fn(self.est.backbone_params, self.est.head_params,
+        with self.lock:
+            head_params = self.est.head_params
+        ctx = sup_fn(self.est.backbone_params, head_params,
                      jnp.asarray(np.stack(imgs)[None]),
                      jnp.asarray(np.stack(joints)[None]),
                      jnp.asarray(np.stack(vis)[None]),
@@ -212,6 +216,31 @@ class PoseService:
                 self.contexts.popitem(last=False)
         return cid
 
+    def reload_checkpoint(self, payload: dict) -> dict:
+        """Hot-swap head weights without restarting the server. Cached
+        support contexts were computed with the old weights, so they are
+        dropped (clients re-register); jitted fns are shape-keyed on the
+        param tree, so no recompile happens when structures match."""
+        import jax
+
+        from edgecape_tpu.train import checkpoint as ck
+
+        tree = ck.load_checkpoint(payload["checkpoint"])
+        new_params = tree.get("params", tree)
+        old_struct = jax.tree_util.tree_structure(self.est.head_params)
+        new_struct = jax.tree_util.tree_structure(new_params)
+        if old_struct != new_struct:
+            raise ValueError(
+                f"checkpoint param structure does not match the serving "
+                f"model ({new_struct} vs {old_struct})")
+        new_params = jax.device_put(new_params)
+        with self.lock:
+            self.est.head_params = new_params
+            dropped = len(self.contexts)
+            self.contexts.clear()
+            self.stats["reloads"] = self.stats.get("reloads", 0) + 1
+        return {"ok": True, "contexts_dropped": dropped}
+
     def _dispatch(self, cid: str, imgs: np.ndarray):
         """One device call for n same-context queries. imgs [n, H, W, 3]
         normalized. Returns (pred [n, K, 2] in [0,1], edge list)."""
@@ -222,6 +251,9 @@ class PoseService:
                 raise KeyError("unknown context_id")
             ctx, skeleton, k_real = self.contexts[cid]
             self.contexts.move_to_end(cid)
+            # snapshot under the same lock that /reload swaps them, so a
+            # context never pairs with params from a different generation
+            head_params = self.est.head_params
         n = imgs.shape[0]
         bucket = next(b for b in _BUCKETS if b >= n)
         if bucket > n:  # edge-repeat pad to the bucket shape
@@ -229,7 +261,7 @@ class PoseService:
                 [imgs, np.repeat(imgs[-1:], bucket - n, axis=0)])
         _, q_fn, _ = self.est._cached_fns
         pred, raw_adj = q_fn(self.est.backbone_params,
-                             self.est.head_params, ctx,
+                             head_params, ctx,
                              jnp.zeros((bucket,), jnp.int32),
                              jnp.asarray(imgs))
         adj = np.asarray(raw_adj)[0]
@@ -408,6 +440,8 @@ def make_handler(service: PoseService):
                     self._reply(200, service.predict(payload))
                 elif self.path == "/predict_batch":
                     self._reply(200, service.predict_batch(payload))
+                elif self.path == "/reload":
+                    self._reply(200, service.reload_checkpoint(payload))
                 else:
                     self._reply(404, {"error": "not found"})
             except Exception as e:  # noqa: BLE001 — report to client

@@ -16,11 +16,19 @@ cv2 = pytest.importorskip("cv2")
 
 
 @pytest.fixture(scope="module")
-def server():
+def service_obj():
     import serve
 
     service = serve.PoseService(size=56, max_kpt=16)
     service.enable_batching(window_s=0.05)
+    return service
+
+
+@pytest.fixture(scope="module")
+def server(service_obj):
+    import serve
+
+    service = service_obj
     httpd = ThreadingHTTPServer(("127.0.0.1", 0),
                                 serve.make_handler(service))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -168,3 +176,65 @@ def test_concurrent_predicts_coalesce(server):
     assert after["queries"] - before["queries"] == 4
     # coalesced: the 4 concurrent requests shared device dispatches
     assert after["dispatches"] - before["dispatches"] < 4
+
+
+def test_reload_hot_swaps_weights(server, service_obj, tmp_path):
+    """POST /reload swaps head weights in place: cached contexts drop,
+    old context ids 400, and predictions change under the new weights."""
+    import jax
+
+    from edgecape_tpu.train import checkpoint as ck
+
+    status, out = _post(server, "/support", {
+        "images": [_b64_image(20)],
+        "keypoints": [[12, 18], [44, 60]],
+        "skeleton": [[0, 1]],
+    })
+    assert status == 200, out
+    old_cid = out["context_id"]
+    query = _b64_image(21)
+    status, pred_old = _post(server, "/predict",
+                             {"context_id": old_cid, "image": query})
+    assert status == 200, pred_old
+
+    original = service_obj.est.head_params
+    perturbed = jax.tree.map(
+        lambda a: a * 1.5 + 0.01 if np.issubdtype(a.dtype, np.floating)
+        else a, original)
+    ck.save_checkpoint(str(tmp_path / "swap"), {"params": perturbed})
+    ck.save_checkpoint(str(tmp_path / "orig"), {"params": original})
+
+    status, out = _post(server, "/reload",
+                        {"checkpoint": str(tmp_path / "swap")})
+    assert status == 200, out
+    assert out["ok"] and out["contexts_dropped"] >= 1
+
+    # stale context id is rejected, not silently served with new weights
+    status, out = _post(server, "/predict",
+                        {"context_id": old_cid, "image": query})
+    assert status == 400
+
+    status, out = _post(server, "/support", {
+        "images": [_b64_image(20)],
+        "keypoints": [[12, 18], [44, 60]],
+        "skeleton": [[0, 1]],
+    })
+    assert status == 200, out
+    status, pred_new = _post(server, "/predict",
+                             {"context_id": out["context_id"],
+                              "image": query})
+    assert status == 200, pred_new
+    assert not np.allclose(np.array(pred_new["keypoints"]),
+                           np.array(pred_old["keypoints"]), atol=1e-5)
+
+    # structure mismatch is a client error, server keeps serving
+    ck.save_checkpoint(str(tmp_path / "bogus"),
+                       {"params": {"x": np.zeros(3, np.float32)}})
+    status, out = _post(server, "/reload",
+                        {"checkpoint": str(tmp_path / "bogus")})
+    assert status == 400 and "error" in out
+
+    # restore the original weights for any later module-scoped use
+    status, out = _post(server, "/reload",
+                        {"checkpoint": str(tmp_path / "orig")})
+    assert status == 200, out
