@@ -303,3 +303,41 @@ def test_bf16_head_close_to_fp32(synth_root):
     assert np.median(d) < 2e-3, np.median(d)
     assert np.quantile(d, 0.9) < 0.01, np.quantile(d, 0.9)
     assert (d > 0.02).mean() < 0.1, (d > 0.02).mean()
+
+
+def test_pckh_unavailable_warns_and_omits(synth_root):
+    """PCKh with no head_size annotations must warn and omit the keys,
+    never report a misleading 0.0 (synthetic data carries no head_size)."""
+    root, ann = synth_root
+    ds = MP100Dataset(_data_cfg(root, ann), mode="test")
+    from edgecape_tpu.eval.runner import compute_metrics
+    records = []
+    for i, pair in enumerate(ds.paired_samples):
+        kp = np.asarray(ds.db[pair[-1]]["joints_3d"]).copy()
+        kp[:, 2] = 1.0
+        records.append({"keypoints": kp.tolist(), "bbox_id": i})
+    with pytest.warns(RuntimeWarning, match="PCKh"):
+        res = compute_metrics(ds, records, ("PCK", "PCKh"))
+    assert not any(k.startswith("PCKh") for k in res)
+    assert res["PCK@0.2"] == 1.0  # other metrics unaffected
+
+
+def test_pckh_with_head_size(synth_root):
+    """With head_size present, perfect predictions give PCKh=1 and no
+    warning."""
+    import warnings
+
+    root, ann = synth_root
+    ds = MP100Dataset(_data_cfg(root, ann), mode="test")
+    from edgecape_tpu.eval.runner import compute_metrics
+    records = []
+    for i, pair in enumerate(ds.paired_samples):
+        ds.db[pair[-1]]["head_size"] = 24.0
+        kp = np.asarray(ds.db[pair[-1]]["joints_3d"]).copy()
+        kp[:, 2] = 1.0
+        records.append({"keypoints": kp.tolist(), "bbox_id": i})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        res = compute_metrics(ds, records, ("PCK", "PCKh"))
+    assert res["PCKh@0.2"] == 1.0
+    assert res["PCKh"] == res["PCKh@0.2"]
