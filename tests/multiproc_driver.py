@@ -27,7 +27,8 @@ def main():
     p.add_argument("--root", required=True)
     p.add_argument("--ann", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--mode", default="eval", choices=["eval", "train"])
+    p.add_argument("--mode", default="eval",
+                   choices=["eval", "train", "gather"])
     args = p.parse_args()
 
     import jax
@@ -37,6 +38,28 @@ def main():
     multihost.initialize(args.coordinator, args.num_processes,
                          args.process_id)
     assert jax.process_count() == args.num_processes
+
+    if args.mode == "gather":
+        # ragged record gather: processes carry DIFFERENT local K and
+        # counts; every field must survive the fixed-shape allgather
+        from edgecape_tpu.eval.runner import _allgather_records
+        pid = args.process_id
+        k_local, n_local = 5 + 3 * pid, 2 + pid
+        records = [{
+            "keypoints": [[float(pid), float(i), float(j)]
+                          for j in range(k_local)],
+            "center": [1.0 + pid, 2.0],
+            "scale": [0.5, 0.5 + i],
+            "area": 10.0 * (pid + 1),
+            "score": 0.875,
+            "image_id": (1 << 40) + pid * 1000 + i,  # >2^32: hi/lo path
+            "bbox_id": pid * 100 + i,
+        } for i in range(n_local)]
+        gathered = _allgather_records(records)
+        if pid == 0:
+            with open(args.out, "w") as f:
+                json.dump(gathered, f)
+        return
 
     from edgecape_tpu.config import Config, DataConfig, ModelConfig, \
         TrainConfig

@@ -132,3 +132,36 @@ def test_two_process_train_matches_single(synth_root, tmp_path):
     flat = jax.tree.leaves(jax.tree.map(np.asarray, state.params))
     digest = float(sum(np.abs(x).sum() for x in flat))
     np.testing.assert_allclose(dist["param_l1"], digest, rtol=1e-4)
+
+
+def test_two_process_ragged_record_gather(synth_root, tmp_path):
+    """_allgather_records with DIFFERENT per-process K and record counts:
+    keypoints zero-pad to the global max instead of raising on the row
+    assignment, counts interleave correctly, and >2^32 image ids survive
+    the hi/lo int32 gather."""
+    root, ann = synth_root
+    out = str(tmp_path / "gathered.json")
+    _spawn(2, root, ann, out, "gather")
+    with open(out) as f:
+        gathered = json.load(f)
+
+    # process 0: 2 records of K=5; process 1: 3 records of K=8
+    assert len(gathered) == 5
+    k_max = 8
+    for r in gathered:
+        assert len(r["keypoints"]) == k_max
+    for pid, base, n, k_local in ((0, 0, 2, 5), (1, 2, 3, 8)):
+        for i in range(n):
+            r = gathered[base + i]
+            kp = np.asarray(r["keypoints"])
+            # real rows carry [pid, i, j]; padded rows are zero
+            np.testing.assert_array_equal(
+                kp[:k_local],
+                [[pid, i, j] for j in range(k_local)])
+            np.testing.assert_array_equal(kp[k_local:], 0.0)
+            assert r["image_id"] == (1 << 40) + pid * 1000 + i
+            assert r["bbox_id"] == pid * 100 + i
+            assert r["center"] == [1.0 + pid, 2.0]
+            assert r["scale"] == [0.5, 0.5 + i]
+            assert r["area"] == 10.0 * (pid + 1)
+            assert r["score"] == 0.875
