@@ -167,10 +167,18 @@ def bench_eval(mcfg, groups: int = 34, iters: int = 10, warmup: int = 2,
     return img_per_sec / n_chips
 
 
-def main(groups: int = 34, iters: int = 10, warmup: int = 2,
-         shots: int = 1, with_train: bool = True, with_5shot: bool = True):
-    import dataclasses
+def _model_cfg(dtype: str):
+    from edgecape_tpu.config import ModelConfig
 
+    # use_flash=True matches configs/_base.py's shipped recipe (custom_vjp
+    # Pallas attention in the train step; cached eval is unaffected)
+    return ModelConfig(learn_skeleton=True, attn_bias=True,
+                       use_bias_attn_module=True, use_flash=True,
+                       compute_dtype=dtype, head_dtype=dtype)
+
+
+def run_phase(phase: str, groups: int, iters: int, warmup: int,
+              shots: int) -> dict:
     import jax
 
     try:  # persistent compile cache: keeps repeat bench runs fast
@@ -179,52 +187,81 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
     except Exception:
         pass
 
-    from edgecape_tpu.config import ModelConfig
-
-    dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
-    # use_flash=True matches configs/_base.py's shipped recipe (custom_vjp
-    # Pallas attention in the train step; cached eval is unaffected)
-    mcfg = ModelConfig(learn_skeleton=True, attn_bias=True,
-                       use_bias_attn_module=True, use_flash=True,
-                       compute_dtype=dtype, head_dtype=dtype)
-
-    per_chip = bench_eval(mcfg, groups=groups, iters=iters, warmup=warmup,
-                          shots=shots)
-    out = {
-        "metric": "mp100_1shot_eval_images_per_sec_per_chip",
-        "value": round(per_chip, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC, 3),
-    }
-    if with_5shot and shots == 1:
+    if phase == "eval":
+        per_chip = bench_eval(_model_cfg("bfloat16"), groups=groups,
+                              iters=iters, warmup=warmup, shots=shots)
+        return {
+            "metric": "mp100_1shot_eval_images_per_sec_per_chip",
+            "value": round(per_chip, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC, 3),
+        }
+    if phase == "eval5":
         # the 5-shot protocol number rides along so it is driver-tracked
         # (docs/performance.md's ~3650 figure regressed invisibly before)
-        out["value_5shot"] = round(
-            bench_eval(mcfg, groups=groups, iters=max(iters // 2, 3),
-                       warmup=warmup, shots=5), 2)
-    if with_train:
+        v = bench_eval(_model_cfg("bfloat16"), groups=groups,
+                       iters=max(iters // 2, 3), warmup=warmup, shots=5)
+        return {"value_5shot": round(v, 2)}
+    if phase in ("train_fp32", "train_bf16"):
         # BOTH dtypes: fp32 is the shipped parity recipe
         # (configs/_base.py trains fp32), bf16 the fast opt-in
-        fp32_cfg = dataclasses.replace(mcfg, compute_dtype="float32",
-                                       head_dtype="float32")
-        bf16_cfg = dataclasses.replace(mcfg, compute_dtype="bfloat16",
-                                       head_dtype="bfloat16")
-        ms32, eps32 = bench_train(fp32_cfg, shots=shots)
-        ms16, eps16 = bench_train(bf16_cfg, shots=shots)
-        out["train_ms_per_step_fp32"] = round(ms32, 2)
-        out["train_episodes_per_sec_fp32"] = round(eps32, 2)
-        out["train_ms_per_step_bf16"] = round(ms16, 2)
-        out["train_episodes_per_sec_bf16"] = round(eps16, 2)
+        dt = "float32" if phase == "train_fp32" else "bfloat16"
+        ms, eps = bench_train(_model_cfg(dt), shots=shots)
+        tag = "fp32" if dt == "float32" else "bf16"
+        return {f"train_ms_per_step_{tag}": round(ms, 2),
+                f"train_episodes_per_sec_{tag}": round(eps, 2)}
+    raise SystemExit(f"unknown phase {phase}")
+
+
+def main(groups: int = 34, iters: int = 10, warmup: int = 2,
+         shots: int = 1, with_train: bool = True, with_5shot: bool = True):
+    """Each phase runs in its OWN subprocess: ~15 min of full-size eval
+    allocations before the train phases measurably inflated the last
+    train number in-process (55 vs 23 ms/step for bf16), so phases must
+    not share a device context. The compile cache keeps the per-phase
+    restart cost to imports + cache load."""
+    import os
+    import subprocess
+
+    phases = ["eval"]
+    if with_5shot and shots == 1:
+        phases.append("eval5")
+    if with_train:
+        phases += ["train_fp32", "train_bf16"]
+
+    out = {}
+    for phase in phases:
+        argv = [sys.executable, os.path.abspath(__file__),
+                f"--phase={phase}", f"--groups={groups}",
+                f"--iters={iters}", f"--warmup={warmup}",
+                f"--shots={shots}"]
+        proc = subprocess.run(argv, stdout=subprocess.PIPE, check=False)
+        lines = [ln for ln in proc.stdout.decode().splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise SystemExit(
+                f"bench phase {phase} failed "
+                f"(rc={proc.returncode}):\n{proc.stdout.decode()[-2000:]}")
+        out.update(json.loads(lines[-1]))
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    groups, shots = 34, 1
+    groups, shots, iters, warmup, phase = 34, 1, 10, 2, None
     for a in sys.argv[1:]:
         if a.startswith("--groups="):
             groups = int(a.split("=")[1])
         if a.startswith("--shots="):
             shots = int(a.split("=")[1])
-    main(groups=groups, shots=shots,
-         with_train="--no-train" not in sys.argv,
-         with_5shot="--no-5shot" not in sys.argv)
+        if a.startswith("--iters="):
+            iters = int(a.split("=")[1])
+        if a.startswith("--warmup="):
+            warmup = int(a.split("=")[1])
+        if a.startswith("--phase="):
+            phase = a.split("=")[1]
+    if phase is not None:
+        print(json.dumps(run_phase(phase, groups, iters, warmup, shots)))
+    else:
+        main(groups=groups, shots=shots,
+             with_train="--no-train" not in sys.argv,
+             with_5shot="--no-5shot" not in sys.argv)
