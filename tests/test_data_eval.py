@@ -266,6 +266,7 @@ def test_repeat_and_concat_datasets(synth_root):
     built.resample_episodes()   # passthrough works
 
 
+@pytest.mark.slow  # 45s of jit: dtype-drift invariant, slow-suite only
 def test_bf16_head_close_to_fp32(synth_root):
     """head_dtype='bfloat16' (the production eval fast path) must stay
     within sub-pixel distance of the fp32 path: coords agree to ~0.5px at

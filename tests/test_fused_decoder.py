@@ -78,6 +78,7 @@ def test_fused_full_forward_close_to_flax():
                                np.asarray(plain.encode.adj), atol=1e-5)
 
 
+@pytest.mark.slow  # 60s of jit: secondary invariant, slow-suite only
 def test_fused_paths_off_during_train_mode():
     """train=True must take the flax path (dropout, gradients) even with
     use_flash enabled — outputs under a fixed dropout rng stay finite and
