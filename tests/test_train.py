@@ -167,3 +167,42 @@ def test_best_checkpoint_numeric_epoch_sort(tmp_path):
                  "best_PCK_epoch_120"):
         (tmp_path / name).mkdir()
     assert ck.best_checkpoint(str(tmp_path)).endswith("best_PCK_epoch_120")
+
+
+def test_full_curriculum_end_to_end(synth, tmp_path):
+    """run_curriculum through ALL three stages on synthetic data
+    (reference run.py:33-103): per-stage artifact dirs + dumped stage
+    configs, warm-start chain base -> skeleton -> bias, and the final
+    latest/best evaluation appending testing_log.txt."""
+    from edgecape_tpu.train import checkpoint as ck
+    from edgecape_tpu.train.curriculum import run_curriculum
+
+    root, ann = synth
+    cfg = _cfg(root, ann, tmp_path / "work")
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_interval=1))
+
+    arts = run_curriculum(cfg, str(tmp_path / "work"), ft_epochs=1,
+                          log_fn=lambda *a: None)
+
+    for stage in ("base", "base_skeleton", "base_skeleton_bias"):
+        assert arts[stage] is not None, stage
+        assert os.path.isdir(arts[stage]), stage
+    for dumped in ("base_config.json", "skeleton_config.json",
+                   "bias_config.json"):
+        assert os.path.exists(tmp_path / "work" / dumped), dumped
+
+    # the warm-start chain: stage-2/3 checkpoints carry stage-specific
+    # params on top of the shared subtree
+    t2 = ck.load_checkpoint(arts["base_skeleton"])["params"]
+    t3 = ck.load_checkpoint(arts["base_skeleton_bias"])["params"]
+    assert "refine0" in t2["skeleton"]
+    bias_keys = [k for k in jax.tree_util.tree_leaves_with_path(t3)
+                 if "bias_mlp" in jax.tree_util.keystr(k[0])]
+    assert bias_keys, "stage 3 must add the Markov bias MLP params"
+
+    # final eval ran on latest (and best if present) and logged it
+    assert "eval" in arts and "latest" in arts["eval"]
+    assert np.isfinite(arts["eval"]["latest"]["PCK"])
+    log = tmp_path / "work" / "testing_log.txt"
+    assert log.exists() and "PCK" in log.read_text()
