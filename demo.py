@@ -131,6 +131,9 @@ def main():
                    help="also render per-layer decoder attention maps")
     args = p.parse_args()
 
+    from edgecape_tpu.utils.runtime import honor_env_platforms
+    honor_env_platforms()
+
     from edgecape_tpu.data.pipeline import load_image
 
     with open(args.annotation) as f:

@@ -32,6 +32,9 @@ def main():
 
     import jax
 
+    from edgecape_tpu.utils.runtime import honor_env_platforms
+    honor_env_platforms()
+
     from edgecape_tpu.config import Config
     from edgecape_tpu.parallel.mesh import make_mesh
     from edgecape_tpu.train.curriculum import run_curriculum

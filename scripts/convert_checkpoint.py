@@ -32,6 +32,9 @@ def main():
 
     import torch
 
+    from edgecape_tpu.utils.runtime import honor_env_platforms
+    honor_env_platforms()   # conversion must not require a live TPU
+
     from edgecape_tpu.config import (Config, ModelConfig, stage2_config,
                                      stage3_config)
     from edgecape_tpu.models import convert, dinov2

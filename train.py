@@ -53,6 +53,9 @@ def main():
 
     import jax
 
+    from edgecape_tpu.utils.runtime import honor_env_platforms
+    honor_env_platforms()
+
     from edgecape_tpu.config import Config
     from edgecape_tpu.data.mp100 import MP100Dataset
     from edgecape_tpu.parallel import multihost
