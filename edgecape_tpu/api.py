@@ -54,12 +54,16 @@ class PoseEstimator:
                  rng: Optional[jax.Array] = None,
                  mesh: Optional[jax.sharding.Mesh] = None):
         import dataclasses as _dc
-        if jax.default_backend() == "tpu" and not cfg.model.use_flash:
-            # the fused-attention flag changes no parameters, only compute;
-            # under a mesh the forward runs inside shard_map so the Pallas
-            # kernels see per-shard shapes and stay valid
-            cfg = _dc.replace(cfg, model=_dc.replace(cfg.model,
-                                                     use_flash=True))
+
+        from .config import resolve_use_flash
+        # Resolve the tri-state: None = auto (flash on TPU — changes no
+        # parameters, only compute; under a mesh the forward runs inside
+        # shard_map so the Pallas kernels see per-shard shapes). An
+        # EXPLICIT use_flash=False is honored: with compute_dtype float32
+        # that is the strict-parity path (no Pallas, no bf16 casts) a
+        # reference-checkpoint PCK bisection needs.
+        cfg = _dc.replace(cfg, model=_dc.replace(
+            cfg.model, use_flash=resolve_use_flash(cfg.model)))
         self.cfg = cfg
         self.model = EdgeCape(cfg.model)
         self.backbone_cfg = dinov2.VIT_S14
@@ -89,7 +93,9 @@ class PoseEstimator:
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
-        flash = True if self.cfg.model.use_flash else "auto"
+        # use_flash was resolved to a concrete bool in __init__;
+        # False means strict parity — never re-auto-enable here
+        flash = bool(self.cfg.model.use_flash)
 
         def forward(bb_params, head_params, img_s, img_q, target_s,
                     weight_s, binary_adj):
@@ -129,7 +135,9 @@ class PoseEstimator:
         model = self.model
         bb_cfg = self.backbone_cfg
         dtype = jnp.dtype(self.cfg.model.compute_dtype)
-        flash = True if self.cfg.model.use_flash else "auto"
+        # use_flash was resolved to a concrete bool in __init__;
+        # False means strict parity — never re-auto-enable here
+        flash = bool(self.cfg.model.use_flash)
         hs = self.cfg.model.heatmap_size
         size = float(self.cfg.model.image_size)
         sigma = self.cfg.test_data.sigma

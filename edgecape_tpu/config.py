@@ -59,7 +59,13 @@ class ModelConfig:
     skeleton_loss_weight: float = 1.0
     # numerics
     compute_dtype: str = "float32"  # 'bfloat16' for the fast path
-    use_flash: bool = False         # Pallas fused attention in the head
+    # Pallas fused attention in the head. Tri-state: None = auto (enabled
+    # on TPU backends, off elsewhere); an EXPLICIT False is honored
+    # everywhere — it is the strict-parity mode (pure XLA, no bf16 casts
+    # inside the kernels), the path a reference-checkpoint PCK bisection
+    # needs (reference test.py:121-127 evaluates fp32 by default).
+    # resolve_use_flash() maps the tri-state to a bool at build time.
+    use_flash: Optional[bool] = None
     # 'bfloat16' runs the cached-eval QUERY phase (encoder + decoder) in
     # bf16 (params cast at the jit boundary; attention scores, softargmax
     # and positional encodings stay fp32 via preferred_element_type).
@@ -72,6 +78,16 @@ class ModelConfig:
     # trains at compute_dtype. False = bit-exact XLA backbone at
     # compute_dtype (the strict-parity mode).
     train_backbone_fast: bool = True
+
+
+def resolve_use_flash(model: "ModelConfig") -> bool:
+    """Tri-state use_flash -> bool: None means 'auto' (Pallas fused
+    attention on TPU backends); True/False are explicit and honored
+    as-is. Import of jax deferred so config import stays light."""
+    if model.use_flash is None:
+        import jax
+        return jax.default_backend() == "tpu"
+    return bool(model.use_flash)
 
 
 @dataclass

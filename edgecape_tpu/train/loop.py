@@ -61,6 +61,12 @@ def make_train_step(model: EdgeCape, tx, cfg: Config, backbone_cfg,
     # (or a non-TPU backend) keeps the bit-exact XLA backbone.
     bb_fast = (mcfg.train_backbone_fast
                and jax.default_backend() == "tpu")
+    if bb_fast:
+        # numerics-affecting default: record which backbone path produced
+        # this run's checkpoints (train_backbone_fast=False keeps the
+        # bit-exact XLA backbone at compute_dtype)
+        print("[edgecape] train step: fused bf16 backbone active "
+              "(model.train_backbone_fast=false for bit-exact fp32)")
     bb_flash = "auto" if bb_dtype == jnp.bfloat16 else False
 
     def extract(bb_params, imgs):
@@ -166,6 +172,13 @@ class Trainer:
                  val_ds: Optional[MP100Dataset] = None,
                  backbone_params=None, mesh=None,
                  log_fn=print):
+        import dataclasses as _dc
+
+        from ..config import resolve_use_flash
+        # tri-state use_flash -> bool here so the head modules see a
+        # concrete flag (None = auto: Pallas fused attention on TPU)
+        cfg = _dc.replace(cfg, model=_dc.replace(
+            cfg.model, use_flash=resolve_use_flash(cfg.model)))
         self.cfg = cfg
         self.train_ds = train_ds
         self.val_ds = val_ds

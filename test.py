@@ -27,6 +27,11 @@ def parse_args():
                    help="disable per-episode support-context caching "
                    "(slower; identical outputs)")
     p.add_argument("--backbone-ckpt", default=None)
+    p.add_argument("--strict-parity", action="store_true",
+                   help="bit-exact fp32 XLA eval (no Pallas kernels, no "
+                   "bf16 casts) — the reference-checkpoint PCK bisection "
+                   "mode; the reference evaluates fp32 by default "
+                   "(reference test.py:121-127)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     # multi-host eval (reference multi_gpu_test, apis/test.py:50-198):
     # each process evaluates its episode shard on its local devices and
@@ -44,6 +49,9 @@ def main():
 
     import jax
 
+    from edgecape_tpu.utils.runtime import honor_env_platforms
+    honor_env_platforms()
+
     from edgecape_tpu.api import PoseEstimator
     from edgecape_tpu.config import Config
     from edgecape_tpu.data.mp100 import MP100Dataset
@@ -56,6 +64,10 @@ def main():
                          args.dist_process_id)
 
     cfg = Config.from_file(args.config).override(args.cfg_options)
+    if args.strict_parity:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, use_flash=False, compute_dtype="float32",
+            head_dtype="float32", train_backbone_fast=False))
     if args.work_dir:
         cfg = dataclasses.replace(cfg, work_dir=args.work_dir)
     work_dir = cfg.work_dir
