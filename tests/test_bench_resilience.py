@@ -1,0 +1,59 @@
+"""bench.py capture resilience (round-3 postmortem: a transient
+'Unable to initialize backend' outage in the first phase subprocess
+zeroed the whole round's BENCH file).
+
+Contract under a forced backend failure (child env JAX_PLATFORMS=bogus):
+- each phase is retried (attempt lines on stderr),
+- the final stdout line is STILL a JSON object, carrying an "errors" key
+  instead of nothing,
+- the retryable-failure detector recognizes the exact round-3 message.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def test_retryable_detector_matches_round3_failure():
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    r3 = "RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE"
+    assert bench._retryable(1, r3)
+    assert bench._retryable(-9, "")            # child timeout
+    assert not bench._retryable(1, "AssertionError: shapes differ")
+
+
+@pytest.mark.slow
+def test_bench_forced_backend_failure_retries_and_prints_partial_json():
+    env = dict(os.environ, JAX_PLATFORMS="bogus")
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--phases=eval", "--max-attempts=2",
+         "--backoff-scale=0", "--phase-timeout=240"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        timeout=900)
+    stdout = proc.stdout.decode()
+    stderr = proc.stderr.decode()
+
+    # the final stdout line must be parseable JSON with the errors key
+    json_lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+    assert json_lines, f"no JSON line printed:\n{stdout}\n{stderr}"
+    out = json.loads(json_lines[-1])
+    assert "errors" in out
+    assert "eval" in out["errors"]
+    # nothing was measured -> exit code 2 (but the JSON above still stands)
+    assert proc.returncode == 2
+
+    # the backend-init failure was classified retryable and retried
+    assert "attempt 1/2" in stderr and "attempt 2/2" in stderr
+    assert "backend-init/timeout" in stderr
+    # preflight diagnostic ran before the phases
+    assert "preflight" in stderr
