@@ -256,13 +256,19 @@ def convert_torch_state_dict(sd: dict, image_size: int = 224,
 
 
 def fast_forward(params: Any, images: jnp.ndarray,
-                 cfg: DinoV2Config = VIT_S14) -> jnp.ndarray:
+                 cfg: DinoV2Config = VIT_S14,
+                 pair_blocks: bool = False) -> jnp.ndarray:
     """Kernel-fused functional forward over the same param tree as DinoViT
     (bf16): Pallas flash attention + fused LN/MLP/residual blocks. Used by
     the TPU fast path; numerics equal to the flax bf16 path at bf16
     resolution.
+
+    pair_blocks=True runs two consecutive blocks per Pallas program
+    (fused_vit_block2): half the program count, double the MXU chain per
+    program, bit-identical output (the intermediate is rounded to bf16
+    in-register exactly like the two-call composition's HBM boundary).
     """
-    from ..ops.fused_vit_block import fused_vit_block
+    from ..ops.fused_vit_block import fused_vit_block, fused_vit_block2
     from ..ops.pallas_config import interpret_default
 
     interp = interpret_default()
@@ -291,25 +297,36 @@ def fast_forward(params: Any, images: jnp.ndarray,
         return (out * p["scale"] + p["bias"]).astype(jnp.bfloat16)
 
     ce = c.embed_dim
-    for i in range(c.depth):
+
+    def block_tuple(i):
         blk = params[f"block{i}"]
         att = blk["attn"]
         wqkv = att["qkv"]["kernel"]      # [C, 3C]: q | k | v columns
         bqkv = att["qkv"]["bias"]
+        return (blk["norm1"]["scale"], blk["norm1"]["bias"],
+                wqkv[:, :ce], bqkv[:ce], wqkv[:, ce:2 * ce],
+                bqkv[ce:2 * ce], wqkv[:, 2 * ce:], bqkv[2 * ce:],
+                att["proj"]["kernel"], att["proj"]["bias"],
+                blk["ls1_gamma"], blk["norm2"]["scale"],
+                blk["norm2"]["bias"], blk["mlp_fc1"]["kernel"],
+                blk["mlp_fc1"]["bias"], blk["mlp_fc2"]["kernel"],
+                blk["mlp_fc2"]["bias"], blk["ls2_gamma"])
+
+    if pair_blocks and c.depth % 2 == 0:
+        # two blocks per Pallas program (see docstring)
+        for i in range(0, c.depth, 2):
+            x = fused_vit_block2(x, block_tuple(i), block_tuple(i + 1),
+                                 num_heads=c.num_heads, eps=c.ln_eps,
+                                 interpret=interp)
+    else:
         # whole block in ONE Pallas kernel: LN1 + MHA + proj + LS residual
         # + LN2 + MLP + LS residual, token block resident in VMEM across
         # both halves (saves the inter-kernel activation round-trip;
         # measured 6.2 -> 5.0 ms/layer at eval batch, bit-same output)
-        x = fused_vit_block(
-            x, blk["norm1"]["scale"], blk["norm1"]["bias"],
-            wqkv[:, :ce], bqkv[:ce], wqkv[:, ce:2 * ce], bqkv[ce:2 * ce],
-            wqkv[:, 2 * ce:], bqkv[2 * ce:], att["proj"]["kernel"],
-            att["proj"]["bias"], blk["ls1_gamma"],
-            blk["norm2"]["scale"], blk["norm2"]["bias"],
-            blk["mlp_fc1"]["kernel"], blk["mlp_fc1"]["bias"],
-            blk["mlp_fc2"]["kernel"], blk["mlp_fc2"]["bias"],
-            blk["ls2_gamma"],
-            num_heads=c.num_heads, eps=c.ln_eps, interpret=interp)
+        for i in range(c.depth):
+            x = fused_vit_block(
+                x, *block_tuple(i),
+                num_heads=c.num_heads, eps=c.ln_eps, interpret=interp)
 
     x = layer_norm(x, params["norm"]).astype(jnp.float32)
     feats = x[:, 1:, :]

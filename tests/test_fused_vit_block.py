@@ -51,3 +51,52 @@ def test_fused_vit_block_odd_batch_padding():
                                          interpret=True))
     assert out.shape == ref.shape
     assert np.abs(out - ref).max() < 0.05
+
+
+def _two_blocks(seed=0, **kw):
+    a = _args(seed=seed, **kw)
+    b = _args(seed=seed + 100, **kw)
+    return a[0], tuple(a[1:]), tuple(b[1:])
+
+
+def test_fused_vit_block2_bit_matches_composition():
+    """Two blocks per program must be BIT-identical to two single-block
+    calls (the intermediate is rounded to bf16 in-register exactly like
+    the composition's HBM boundary)."""
+    x, blk_a, blk_b = _two_blocks()
+    xb = x.astype(jnp.bfloat16)  # the fast_forward activation dtype
+    one = fvb.fused_vit_block(xb, *blk_a, num_heads=6, interpret=True)
+    two = fvb.fused_vit_block(one, *blk_b, num_heads=6, interpret=True)
+    fused = fvb.fused_vit_block2(xb, blk_a, blk_b, num_heads=6,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                  np.asarray(two, np.float32))
+
+
+def test_fused_vit_block2_padded_tokens():
+    x, blk_a, blk_b = _two_blocks(b=4, n=130, seed=5)
+    xb = x.astype(jnp.bfloat16)
+    one = fvb.fused_vit_block(xb, *blk_a, num_heads=6, interpret=True)
+    two = fvb.fused_vit_block(one, *blk_b, num_heads=6, interpret=True)
+    fused = fvb.fused_vit_block2(xb, blk_a, blk_b, num_heads=6,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                  np.asarray(two, np.float32))
+
+
+def test_fast_forward_pair_blocks_bit_matches():
+    """dinov2.fast_forward(pair_blocks=True) == pair_blocks=False output
+    bit-for-bit on a small 2-block backbone (interpret mode on CPU)."""
+    import jax
+
+    from edgecape_tpu.models import dinov2
+
+    cfg = dinov2.DinoV2Config(depth=2)
+    params = jax.jit(lambda r: dinov2.init_params(
+        r, image_size=56, cfg=cfg))(jax.random.PRNGKey(0))
+    img = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 56, 56, 3)), jnp.float32)
+    base = np.asarray(dinov2.fast_forward(params, img, cfg))
+    paired = np.asarray(dinov2.fast_forward(params, img, cfg,
+                                            pair_blocks=True))
+    np.testing.assert_array_equal(paired, base)
