@@ -152,6 +152,9 @@ class PoseService:
         self.max_contexts = 32
         self.contexts: "OrderedDict" = OrderedDict()
         self.lock = threading.Lock()
+        # bumped under the lock on every /reload; a support context built
+        # against an older generation's head params is never inserted
+        self.generation = 0
         self.stats = {"dispatches": 0, "queries": 0, "max_batch": 0}
         self.batcher: "_MicroBatcher | None" = None
 
@@ -204,6 +207,7 @@ class PoseService:
         sup_fn, _, _ = self.est._cached_fns
         with self.lock:
             head_params = self.est.head_params
+            gen = self.generation
         ctx = sup_fn(self.est.backbone_params, head_params,
                      jnp.asarray(np.stack(imgs)[None]),
                      jnp.asarray(np.stack(joints)[None]),
@@ -211,6 +215,13 @@ class PoseService:
                      jnp.asarray(adj[None]))
         cid = uuid.uuid4().hex[:12]
         with self.lock:
+            if self.generation != gen:
+                # /reload swapped the head params while this context was
+                # being computed; inserting it would silently pair stale
+                # support features with the new weights at /predict time
+                raise RuntimeError(
+                    "checkpoint reloaded during support registration; "
+                    "re-register the support")
             self.contexts[cid] = (ctx, skeleton, k_real)
             while len(self.contexts) > self.max_contexts:
                 self.contexts.popitem(last=False)
@@ -236,6 +247,7 @@ class PoseService:
         new_params = jax.device_put(new_params)
         with self.lock:
             self.est.head_params = new_params
+            self.generation += 1
             dropped = len(self.contexts)
             self.contexts.clear()
             self.stats["reloads"] = self.stats.get("reloads", 0) + 1
@@ -463,8 +475,12 @@ def main():
                    help="micro-batching window for concurrent /predict "
                         "requests; 0 disables coalescing")
     args = p.parse_args()
+
+    from edgecape_tpu.utils.runtime import honor_env_platforms
+    honor_env_platforms()
+
     service = PoseService(args.checkpoint, args.backbone_ckpt, args.size)
-    if args.batch_window_ms >= 0:
+    if args.batch_window_ms > 0:
         service.enable_batching(window_s=args.batch_window_ms / 1e3)
     server = ThreadingHTTPServer(("0.0.0.0", args.port),
                                  make_handler(service))

@@ -238,3 +238,39 @@ def test_reload_hot_swaps_weights(server, service_obj, tmp_path):
     status, out = _post(server, "/reload",
                         {"checkpoint": str(tmp_path / "orig")})
     assert status == 200, out
+
+
+def test_reload_during_register_support_is_rejected(service_obj):
+    """A /reload landing between register_support's param snapshot and its
+    context insert must NOT leave a stale-generation context in the
+    registry (it would silently pair old support features with the new
+    head params). The insert is generation-checked and re-raised."""
+    service = service_obj
+    real_fns = service.est._cached_fns
+
+    def racing_sup_fn(*args, **kw):
+        ctx = real_fns[0](*args, **kw)
+        with service.lock:          # simulate a concurrent /reload commit
+            service.generation += 1
+            service.contexts.clear()
+        return ctx
+
+    service.est._cached_fns = (racing_sup_fn,) + tuple(real_fns[1:])
+    try:
+        with pytest.raises(RuntimeError, match="reloaded during"):
+            service.register_support({
+                "images": [_b64_image(7)],
+                "keypoints": [[10, 12], [30, 40]],
+                "skeleton": [[0, 1]],
+            })
+        assert len(service.contexts) == 0
+    finally:
+        service.est._cached_fns = real_fns
+
+    # sanity: without the race the same payload registers fine
+    cid = service.register_support({
+        "images": [_b64_image(7)],
+        "keypoints": [[10, 12], [30, 40]],
+        "skeleton": [[0, 1]],
+    })
+    assert cid in service.contexts
