@@ -193,7 +193,10 @@ def _allgather_records(records):
     counts = np.asarray(multihost.allgather(
         np.asarray([n], np.int32))).reshape(-1)
     maxn = int(counts.max())
-    k = (len(records[0]["keypoints"]) if records else 1)
+    # local K is the max over THIS process's records too (per-category
+    # trimmed predictions make K heterogeneous within a process; deriving
+    # it from records[0] alone made _kp_padded raise on any wider record)
+    k = max((len(r["keypoints"]) for r in records), default=1)
     kdims = np.asarray(multihost.allgather(
         np.asarray([k], np.int32))).reshape(-1)
     k = int(kdims.max())
