@@ -65,6 +65,8 @@ def build_interface(checkpoint=None, backbone_ckpt=None, size=256):
 
 
 def main():
+    from edgecape_tpu.utils.runtime import honor_env_platforms
+    honor_env_platforms()
     ckpt = sys.argv[1] if len(sys.argv) > 1 else None
     try:
         import gradio  # noqa: F401

@@ -21,6 +21,9 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+from edgecape_tpu.utils.runtime import honor_env_platforms  # noqa: E402
+honor_env_platforms()
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/edgecape_jax_cache")
 
 from edgecape_tpu.ops.fused_attn_block import fused_attn_block  # noqa: E402

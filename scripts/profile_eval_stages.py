@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from edgecape_tpu.utils.runtime import honor_env_platforms  # noqa: E402
+honor_env_platforms()
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/edgecape_jax_cache")
 
 from edgecape_tpu.api import PoseEstimator, _maybe_normalize  # noqa: E402
