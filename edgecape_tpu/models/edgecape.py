@@ -162,25 +162,39 @@ class EdgeCape(nn.Module):
             # fully-fused Pallas encoder layer (eval fast path): the
             # position map is row-independent, so it ships once per
             # program instead of inside the token stream
-            from ..ops.fused_encoder import fused_encoder_layer
-            from ..ops.pallas_config import interpret_default
+            from ..ops.fused_encoder import (fused_encoder_layer,
+                                             fused_encoder_stack)
+            from ..ops.pallas_config import (encoder_stack_default,
+                                             interpret_default)
             interp = interpret_default()
             p = self.variables["params"]
             pos_row = pos[0]
-            for i in range(c.num_encoder_layers):
+
+            def layer_weights(i):
                 lp = p[f"enc{i}"]
                 at = lp["self_attn"]
-                tokens = fused_encoder_layer(
+                return (at["q_proj"]["kernel"], at["q_proj"]["bias"],
+                        at["k_proj"]["kernel"], at["k_proj"]["bias"],
+                        at["v_proj"]["kernel"], at["v_proj"]["bias"],
+                        at["out_proj"]["kernel"], at["out_proj"]["bias"],
+                        lp["norm1"]["scale"], lp["norm1"]["bias"],
+                        lp["linear1"]["kernel"], lp["linear1"]["bias"],
+                        lp["linear2"]["kernel"], lp["linear2"]["bias"],
+                        lp["norm2"]["scale"], lp["norm2"]["bias"])
+
+            if encoder_stack_default():
+                # whole encoder in ONE Pallas program (bit-identical to
+                # the per-layer chain; measured-perf switch)
+                tokens = fused_encoder_stack(
                     tokens, pos_row, valid,
-                    at["q_proj"]["kernel"], at["q_proj"]["bias"],
-                    at["k_proj"]["kernel"], at["k_proj"]["bias"],
-                    at["v_proj"]["kernel"], at["v_proj"]["bias"],
-                    at["out_proj"]["kernel"], at["out_proj"]["bias"],
-                    lp["norm1"]["scale"], lp["norm1"]["bias"],
-                    lp["linear1"]["kernel"], lp["linear1"]["bias"],
-                    lp["linear2"]["kernel"], lp["linear2"]["bias"],
-                    lp["norm2"]["scale"], lp["norm2"]["bias"],
+                    tuple(layer_weights(i)
+                          for i in range(c.num_encoder_layers)),
                     num_heads=c.nhead, eps=1e-5, interpret=interp)
+            else:
+                for i in range(c.num_encoder_layers):
+                    tokens = fused_encoder_layer(
+                        tokens, pos_row, valid, *layer_weights(i),
+                        num_heads=c.nhead, eps=1e-5, interpret=interp)
         else:
             for layer in self.encoder_layers:
                 tokens = layer(tokens, pos, valid, train=train)

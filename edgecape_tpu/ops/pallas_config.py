@@ -27,3 +27,27 @@ def interpret_default() -> bool:
     if _FORCE_INTERPRET is not None:
         return _FORCE_INTERPRET
     return jax.default_backend() != "tpu"
+
+
+_ENCODER_STACK: Optional[bool] = None
+
+
+def set_encoder_stack(value: Optional[bool]) -> None:
+    """Override the whole-encoder-in-one-kernel path (None = default)."""
+    global _ENCODER_STACK
+    _ENCODER_STACK = value
+
+
+def encoder_stack_default() -> bool:
+    """True when the eval path should run ALL encoder layers in one
+    Pallas program (fused_encoder_stack) instead of one program per
+    layer. Bit-identical either way; this is purely a measured-perf
+    switch (scripts/bench_encoder_stack.py), overridable via
+    EDGECAPE_ENC_STACK=0/1 for A/B timing without code edits."""
+    if _ENCODER_STACK is not None:
+        return _ENCODER_STACK
+    import os
+    env = os.environ.get("EDGECAPE_ENC_STACK")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False  # pending measurement on hardware (round-4 build)
