@@ -225,6 +225,16 @@ class EdgeCape(nn.Module):
         predictions via the head recompute, point trajectory[, attn maps
         [L, B, K, HW] when return_attn — reference return_attn_map,
         encoder_decoder.py:391-392])."""
+        c = self.cfg
+        from ..ops.pallas_config import decoder_stack_default
+        if (c.use_flash and not train and not return_attn
+                and not self.is_initializing()
+                and decoder_stack_default()):
+            # whole decoder + glue + head recompute in Pallas
+            # (measured-perf switch; tolerance-equal to the layer chain)
+            return self.decoder.decode_stacked(
+                kp_tokens, img_tokens, kp_valid=kp_valid, img_pos=img_pos,
+                initial_proposals=proposals, adj=adj, hop_stack=hop_stack)
         dec_out = self.decoder(
             kp_tokens, img_tokens, kp_valid=kp_valid, img_pos=img_pos,
             initial_proposals=proposals, adj=adj, hop_stack=hop_stack,

@@ -414,3 +414,32 @@ class Decoder(nn.Module):
             return jnp.stack(intermediate, axis=0), points, \
                 jnp.stack(attn_maps, axis=0)
         return jnp.stack(intermediate, axis=0), points
+
+    def decode_stacked(self, kp_tokens, img_tokens, *, kp_valid, img_pos,
+                       initial_proposals, adj, hop_stack=None):
+        """Eval fast path: the whole decoder — layer chunks plus ALL
+        inter-layer glue (bias MLP, sine+ref_point_head, kpt_branch,
+        trajectory update, final-norm head recompute) — in Pallas
+        (ops/fused_decoder.fused_decoder_stack). Returns the
+        head-recompute predictions [L, B, K, 2] and the points
+        trajectory list, exactly decode()'s contract
+        (reference encoder_decoder.py:313-431 + head.py:216-221)."""
+        from ..ops.fused_decoder import fused_decoder_stack
+        from ..ops.pallas_config import interpret_default
+        kp_valid = ensure_some_valid(kp_valid)
+        bi = jax.lax.stop_gradient(initial_proposals.astype(jnp.float32))
+        p = self.variables["params"]
+        layer_params = tuple(
+            {"dec": p[f"layer{i}"], "kpt": p[f"kpt_branch{i}"],
+             **({"bias_mlp": p[f"layer{i}"]["bias_mlp"]}
+                if self.attn_bias and hop_stack is not None else {})}
+            for i in range(self.num_layers))
+        outputs, points_arr = fused_decoder_stack(
+            kp_tokens, bi, img_tokens, img_pos[0], kp_valid,
+            hop_stack if self.attn_bias else None, adj, layer_params,
+            p["ref_point_head"], p["norm"], num_heads=self.nhead,
+            num_feats=self.num_feats, eps=1e-5,
+            interpret=interpret_default())
+        points = [bi] + [points_arr[i]
+                         for i in range(points_arr.shape[0])]
+        return outputs, points

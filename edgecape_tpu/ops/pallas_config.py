@@ -51,3 +51,28 @@ def encoder_stack_default() -> bool:
     if env is not None:
         return env not in ("0", "false", "False")
     return False  # pending measurement on hardware (round-4 build)
+
+
+_DECODER_STACK: Optional[bool] = None
+
+
+def set_decoder_stack(value: Optional[bool]) -> None:
+    """Override the whole-decoder-in-Pallas path (None = default)."""
+    global _DECODER_STACK
+    _DECODER_STACK = value
+
+
+def decoder_stack_default() -> bool:
+    """True when the eval path should run the refinement decoder as
+    VMEM-resident layer chunks with all inter-layer glue in-kernel
+    (ops/fused_decoder.fused_decoder_stack) instead of one Pallas
+    program per layer with the glue in XLA. Tolerance-equal (not
+    bit-exact — see the fused_decoder module docstring); measured-perf
+    switch, overridable via EDGECAPE_DEC_STACK=0/1."""
+    if _DECODER_STACK is not None:
+        return _DECODER_STACK
+    import os
+    env = os.environ.get("EDGECAPE_DEC_STACK")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return False  # pending measurement on hardware (round-4 build)

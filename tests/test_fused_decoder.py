@@ -34,6 +34,31 @@ def _full(cfg, params, inputs):
     return model.apply({"params": params}, *inputs)
 
 
+def _randomize_kpt_out(params, seed=7, scale=0.02):
+    """KptBranch final layers are zero-init (reference TokenDecodeMLP),
+    which makes the decoder an identity on coordinates at init — any
+    two decoder implementations then agree on outputs/points trivially.
+    Give the delta heads small random weights so the trajectory, the
+    sine/ref_point_head re-embedding, and the head recompute actually
+    discriminate."""
+    try:
+        from flax.core import unfreeze
+        params = unfreeze(params)
+    except Exception:
+        pass
+    rng = np.random.default_rng(seed)
+    dec = params["decoder"]
+    for name, sub in dec.items():
+        if name.startswith("kpt_branch"):
+            k = sub["out"]["kernel"]
+            sub["out"]["kernel"] = jnp.asarray(
+                rng.normal(size=k.shape) * scale, k.dtype)
+            b = sub["out"]["bias"]
+            sub["out"]["bias"] = jnp.asarray(
+                rng.normal(size=b.shape) * scale, b.dtype)
+    return params
+
+
 @pytest.mark.parametrize("stage_kw", [
     dict(),
     dict(learn_skeleton=True, attn_bias=True, use_bias_attn_module=True),
@@ -43,6 +68,7 @@ def test_fused_decoder_matches_flax(stage_kw):
     the fused Pallas decoder (interpreter off-TPU) vs the flax decoder,
     same params — including the Markov-biased self-attention at stage 3."""
     cfg, params, inputs = _setup(**stage_kw)
+    params = _randomize_kpt_out(params)
     plain = _full(cfg, params, inputs)
     enc = plain.encode
 
@@ -96,3 +122,106 @@ def test_fused_paths_off_during_train_mode():
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
     assert total > 0.0
+
+
+@pytest.mark.parametrize("stage_kw", [
+    dict(),
+    dict(learn_skeleton=True, attn_bias=True, use_bias_attn_module=True),
+])
+def test_decoder_stack_matches_flax(stage_kw):
+    """Whole-decoder-in-Pallas (chunked stack with in-kernel glue:
+    bias MLP, sine+ref_point_head, kpt_branch, trajectory) vs the flax
+    decoder on the same encoder outputs. d_model 256 makes the default
+    8 MB chunk budget split 3 layers into 2+1, so the chunk-boundary
+    carry is exercised here too."""
+    from edgecape_tpu.ops import pallas_config
+    cfg, params, inputs = _setup(**stage_kw)
+    params = _randomize_kpt_out(params)
+    plain = _full(cfg, params, inputs)
+    enc = plain.encode
+
+    fused_model = EdgeCape(dataclasses.replace(cfg, use_flash=True))
+    pallas_config.set_decoder_stack(True)
+    try:
+        outs, points = fused_model.apply(
+            {"params": params}, enc.kp_tokens, enc.img_tokens,
+            enc.proposals, enc.adj, enc.hop_stack, enc.kp_valid,
+            enc.img_pos, method=EdgeCape.decode)
+    finally:
+        pallas_config.set_decoder_stack(None)
+
+    mask = np.asarray(inputs[3]) > 0                      # [B, K]
+    p, f = np.asarray(plain.outputs), np.asarray(outs)
+    d = np.abs(p - f)[:, mask]
+    assert np.median(d) < 2e-3, np.median(d)
+    assert np.quantile(d, 0.95) < 0.01, np.quantile(d, 0.95)
+    # trajectory contract: list of [initial, after L0, ...], fp32
+    assert len(points) == cfg.num_decoder_layers + 1
+    np.testing.assert_allclose(np.asarray(points[0]),
+                               np.asarray(plain.points[0]), atol=1e-6)
+    dp = np.abs(np.asarray(points[-1]) - np.asarray(plain.points[-1]))
+    assert np.median(dp[mask]) < 2e-3, np.median(dp[mask])
+
+
+def test_decoder_stack_matches_chained_fused():
+    """Stack vs the per-layer fused chain (both Pallas interpret): the
+    only numeric deltas are the in-kernel glue (bf16 fc weights,
+    polynomial erf), so agreement is tighter than vs flax."""
+    from edgecape_tpu.ops import pallas_config
+    cfg, params, inputs = _setup(learn_skeleton=True, attn_bias=True,
+                                 use_bias_attn_module=True)
+    params = _randomize_kpt_out(params)
+    plain = _full(cfg, params, inputs)
+    enc = plain.encode
+    fused_model = EdgeCape(dataclasses.replace(cfg, use_flash=True))
+    args = (enc.kp_tokens, enc.img_tokens, enc.proposals, enc.adj,
+            enc.hop_stack, enc.kp_valid, enc.img_pos)
+    chain, chain_pts = fused_model.apply({"params": params}, *args,
+                                         method=EdgeCape.decode)
+    pallas_config.set_decoder_stack(True)
+    try:
+        stack, stack_pts = fused_model.apply({"params": params}, *args,
+                                             method=EdgeCape.decode)
+    finally:
+        pallas_config.set_decoder_stack(None)
+    mask = np.asarray(inputs[3]) > 0
+    d = np.abs(np.asarray(chain) - np.asarray(stack))[:, mask]
+    # tripwire: the stack is a different implementation (bf16 glue
+    # weights, polynomial erf) — bit-equality would mean the gate never
+    # dispatched to it
+    assert d.max() > 0.0
+    assert np.median(d) < 1e-3, np.median(d)
+    assert np.quantile(d, 0.95) < 5e-3, np.quantile(d, 0.95)
+    dp = np.abs(np.asarray(chain_pts[-1]) - np.asarray(stack_pts[-1]))
+    assert np.median(dp[mask]) < 1e-3, np.median(dp[mask])
+
+
+def test_decoder_stack_single_chunk_path():
+    """Force one-layer chunks (tiny max_chunk_bytes) and compare against
+    the default chunking — the chunk-boundary HBM carry must be
+    value-preserving."""
+    from edgecape_tpu.models.transformer import ensure_some_valid
+    from edgecape_tpu.ops.fused_decoder import fused_decoder_stack
+    cfg, params, inputs = _setup(learn_skeleton=True, attn_bias=True,
+                                 use_bias_attn_module=True)
+    params = _randomize_kpt_out(params)
+    plain = _full(cfg, params, inputs)
+    enc = plain.encode
+    p = params["decoder"]
+    layer_params = tuple(
+        {"dec": p[f"layer{i}"], "kpt": p[f"kpt_branch{i}"],
+         "bias_mlp": p[f"layer{i}"]["bias_mlp"]}
+        for i in range(cfg.num_decoder_layers))
+    kp_valid = ensure_some_valid(enc.kp_valid)
+    common = (enc.kp_tokens, enc.proposals.astype(jnp.float32),
+              enc.img_tokens, enc.img_pos[0], kp_valid, enc.hop_stack,
+              enc.adj, layer_params, p["ref_point_head"], p["norm"])
+    kw = dict(num_heads=cfg.nhead, num_feats=cfg.num_feats,
+              interpret=True)
+    o_def, pts_def = fused_decoder_stack(*common, **kw)
+    o_one, pts_one = fused_decoder_stack(*common, max_chunk_bytes=1,
+                                         **kw)
+    np.testing.assert_allclose(np.asarray(o_def), np.asarray(o_one),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pts_def), np.asarray(pts_one),
+                               atol=1e-5, rtol=1e-5)
