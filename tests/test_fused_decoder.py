@@ -225,3 +225,50 @@ def test_decoder_stack_single_chunk_path():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(pts_def), np.asarray(pts_one),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_decoder_stack_row_grouping_consistent():
+    """Multi-row programs (group>1, picked at b=4) must produce exactly
+    the same per-row results as b=1 runs — catches block-indexing bugs
+    in the row loop that b=3 (group=1) tests can't see."""
+    from edgecape_tpu.models.transformer import ensure_some_valid
+    from edgecape_tpu.ops.fused_decoder import fused_decoder_stack
+    cfg, params, _ = _setup(learn_skeleton=True, attn_bias=True,
+                            use_bias_attn_module=True)
+    params = _randomize_kpt_out(params)
+    p = params["decoder"]
+    layer_params = tuple(
+        {"dec": p[f"layer{i}"], "kpt": p[f"kpt_branch{i}"],
+         "bias_mlp": p[f"layer{i}"]["bias_mlp"]}
+        for i in range(cfg.num_decoder_layers))
+
+    b, k, hw, c = 4, K, 16, cfg.d_model
+    rng = np.random.default_rng(3)
+    kp_tokens = jnp.asarray(rng.normal(size=(b, k, c)) * 0.2, jnp.float32)
+    img_tokens = jnp.asarray(rng.normal(size=(b, hw, c)) * 0.2,
+                             jnp.float32)
+    proposals = jnp.asarray(rng.uniform(0.1, 0.9, size=(b, k, 2)),
+                            jnp.float32)
+    adj = jnp.asarray(rng.uniform(0, 0.5, size=(b, 2, k, k)), jnp.float32)
+    hops = jnp.asarray(rng.uniform(0, 1, size=(b, k, k, 5)), jnp.float32)
+    valid = np.ones((b, k), bool)
+    valid[1, 8:] = False
+    kp_valid = ensure_some_valid(jnp.asarray(valid))
+    img_pos = jnp.asarray(rng.normal(size=(hw, c)) * 0.5, jnp.float32)
+
+    kw = dict(num_heads=cfg.nhead, num_feats=cfg.num_feats,
+              interpret=True)
+    o4, p4 = fused_decoder_stack(kp_tokens, proposals, img_tokens,
+                                 img_pos, kp_valid, hops, adj,
+                                 layer_params, p["ref_point_head"],
+                                 p["norm"], **kw)
+    for i in range(b):
+        o1, p1 = fused_decoder_stack(
+            kp_tokens[i:i + 1], proposals[i:i + 1],
+            img_tokens[i:i + 1], img_pos, kp_valid[i:i + 1],
+            hops[i:i + 1], adj[i:i + 1], layer_params,
+            p["ref_point_head"], p["norm"], **kw)
+        np.testing.assert_array_equal(np.asarray(o4[:, i]),
+                                      np.asarray(o1[:, 0]))
+        np.testing.assert_array_equal(np.asarray(p4[:, i]),
+                                      np.asarray(p1[:, 0]))
