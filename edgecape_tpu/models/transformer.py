@@ -38,11 +38,10 @@ def dense(feats: int, name: str):
                     name=name)
 
 
-def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
-    x = jnp.clip(x, 0.0, 1.0)
-    x1 = jnp.clip(x, eps, None)
-    x2 = jnp.clip(1.0 - x, eps, None)
-    return jnp.log(x1 / x2)
+# canonical definition lives with the coordinate helpers; re-exported
+# here because model code and the reference map both know it by this
+# module
+from ..ops.pos_enc import inverse_sigmoid  # noqa: F401, E402
 
 
 def ensure_some_valid(valid: jnp.ndarray) -> jnp.ndarray:

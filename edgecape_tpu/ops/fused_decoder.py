@@ -30,9 +30,12 @@ leaves to XLA between programs — inside one Pallas program:
 
 Layer chunks are sized so all chunk weights stay VMEM-resident
 (~3.7 MB bf16 per layer at d_model 256); (tokens, coords) round-trip
-HBM only at chunk boundaries. Tolerance-tested (not bit-exact: the
-erf-based exact GELU uses an |err|<=1.5e-7 polynomial, and fc weights
-round to bf16 where XLA keeps fp32).
+HBM only at chunk boundaries. Tolerance-tested (not bit-exact; the
+numeric deltas vs the chained path are: the hop-power stack rounds to
+bf16 on the host where _markov_bias_fn consumes fp32 — the dominant
+term for attn_bias configs — plus bf16-rounded ref_point_head /
+kpt_branch weights and an |err|<=1.5e-7 polynomial erf in the exact
+GELU).
 """
 
 from __future__ import annotations
@@ -43,6 +46,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# the coordinate-update inverse shared with the flax trajectory
+# (models/transformer.py re-exports it) — one definition, so an eps
+# change cannot desynchronize the Pallas and flax trajectories
+from .pos_enc import inverse_sigmoid as _invsig
 
 
 def _kernel(x_ref, qpos_ref, img_ref, ipos_ref, kb_ref, bias_ref, adj_ref,
@@ -287,12 +295,6 @@ def _gelu(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _invsig(x, eps=1e-3):
-    """transformer.inverse_sigmoid (clip + log-odds), elementwise."""
-    x = jnp.clip(x, 0.0, 1.0)
-    x1 = jnp.clip(x, eps, None)
-    x2 = jnp.clip(1.0 - x, eps, None)
-    return jnp.log(x1 / x2)
 
 
 # refs per layer in the flat `rest` of _stack_kernel, in order:
@@ -315,7 +317,6 @@ def _stack_kernel(x_ref, ct_ref, img_ref, ipos_ref, kb_ref, hops_ref,
      wg_r, bg_r, wf_r, bf_r, ln3s_r, ln3b_r,
      k0w_r, k0b_r, k1w_r, k1b_r, k2w_r, k2b_r, kow_r, kob_r) = refs
     gsz, kp, c = x_ref.shape
-    hw = img_ref.shape[1]
     d = c // num_heads
     c2 = 2 * c
     d2 = c2 // num_heads
@@ -484,7 +485,6 @@ def _stack_chunk(x, ct, img_tokens, ipos, kb, hops, adj, shared, layers,
     b, kp, c = x.shape
     hw = img_tokens.shape[1]
     lc = layers["wqkv"].shape[0]
-    f2 = layers["wg"].shape[2]
     has_bias = hops is not None
 
     # honest VMEM need: chunk weights resident once; row blocks and

@@ -33,7 +33,11 @@ _ENCODER_STACK: Optional[bool] = None
 
 
 def set_encoder_stack(value: Optional[bool]) -> None:
-    """Override the whole-encoder-in-one-kernel path (None = default)."""
+    """Override the whole-encoder-in-one-kernel path (None = default).
+
+    Trace-time switch: functions already jitted keep the path they were
+    traced with — set it before the first call (or re-jit) when A/B'ing.
+    """
     global _ENCODER_STACK
     _ENCODER_STACK = value
 
@@ -57,7 +61,11 @@ _DECODER_STACK: Optional[bool] = None
 
 
 def set_decoder_stack(value: Optional[bool]) -> None:
-    """Override the whole-decoder-in-Pallas path (None = default)."""
+    """Override the whole-decoder-in-Pallas path (None = default).
+
+    Trace-time switch: functions already jitted keep the path they were
+    traced with — set it before the first call (or re-jit) when A/B'ing.
+    """
     global _DECODER_STACK
     _DECODER_STACK = value
 

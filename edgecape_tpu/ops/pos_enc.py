@@ -18,6 +18,17 @@ SCALE = 2.0 * math.pi
 EPS = 1e-6
 
 
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Clipped log-odds (reference models/utils/transformer.py
+    inverse_sigmoid): the coordinate-trajectory inverse used by the
+    flax Decoder AND the Pallas decoder stack — single definition so
+    the two cannot drift."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.clip(x, eps, None)
+    x2 = jnp.clip(1.0 - x, eps, None)
+    return jnp.log(x1 / x2)
+
+
 def _dim_t(num_feats: int) -> jnp.ndarray:
     i = jnp.arange(num_feats, dtype=jnp.float32)
     return TEMPERATURE ** (2.0 * jnp.floor(i / 2.0) / num_feats)
