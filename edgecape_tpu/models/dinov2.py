@@ -257,7 +257,7 @@ def convert_torch_state_dict(sd: dict, image_size: int = 224,
 
 def fast_forward(params: Any, images: jnp.ndarray,
                  cfg: DinoV2Config = VIT_S14,
-                 pair_blocks: bool = False) -> jnp.ndarray:
+                 pair_blocks: "bool | None" = None) -> jnp.ndarray:
     """Kernel-fused functional forward over the same param tree as DinoViT
     (bf16): Pallas flash attention + fused LN/MLP/residual blocks. Used by
     the TPU fast path; numerics equal to the flax bf16 path at bf16
@@ -269,8 +269,11 @@ def fast_forward(params: Any, images: jnp.ndarray,
     in-register exactly like the two-call composition's HBM boundary).
     """
     from ..ops.fused_vit_block import fused_vit_block, fused_vit_block2
-    from ..ops.pallas_config import interpret_default
+    from ..ops.pallas_config import (interpret_default,
+                                     vit_pair_blocks_default)
 
+    if pair_blocks is None:                  # measured-default switch
+        pair_blocks = vit_pair_blocks_default()
     interp = interpret_default()
     c = cfg
     b, h, w, _ = images.shape

@@ -11,6 +11,9 @@ plugin has touched jax.devices() yet.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# isolate tests from a measured pallas_tuned.json at the repo root
+# (tests pin kernel variants explicitly via pallas_config setters)
+os.environ.setdefault("EDGECAPE_PALLAS_TUNED", "/nonexistent")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
