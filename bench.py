@@ -427,10 +427,21 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
             errors[label] = err
     if errors:
         out["errors"] = errors
+    # record which measured kernel variants were active (audit trail:
+    # pallas_tuned.json winners apply to every phase subprocess)
+    try:
+        from edgecape_tpu.ops import pallas_config as _pc
+        out["pallas_switches"] = {
+            "encoder_stack": _pc.encoder_stack_default(),
+            "decoder_stack": _pc.decoder_stack_default(),
+            "vit_pair_blocks": _pc.vit_pair_blocks_default()}
+    except Exception:
+        pass
     # ALWAYS the last line, even on total failure: the driver parses the
     # last JSON line and partial data beats none
     print(json.dumps(out))
-    if not any(k for k in out if k != "errors"):
+    meta_keys = {"errors", "pallas_switches"}
+    if not any(k for k in out if k not in meta_keys):
         sys.exit(2)   # nothing measured (but the JSON above still stands)
 
 
