@@ -245,3 +245,62 @@ def test_sharded_eval_production_shapes_matches_single_device():
     d = np.abs(np.asarray(pred1) - np.asarray(pred8))
     assert np.median(d) < 5e-3, np.median(d)
     assert (d > 0.05).mean() < 0.05, (d > 0.05).mean()
+
+
+def test_sharded_eval_all_stack_variants_match_single_device():
+    """Pre-validates the round-4 measured-variant flips under the mesh:
+    with encoder stack, decoder stack, AND ViT pair-blocks all enabled
+    (the maximal pallas_tuned.json outcome), the shard_map cached-eval
+    runs the stacked kernels per shard and still matches the
+    single-device flax path to kernel tolerance. kpt out layers get
+    random weights — they are zero-init, under which any decoder
+    implementation trivially returns the proposals (see
+    test_fused_decoder._randomize_kpt_out)."""
+    import dataclasses
+
+    from edgecape_tpu.api import PoseEstimator
+    from edgecape_tpu.ops import pallas_config
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, learn_skeleton=True, attn_bias=True,
+            use_bias_attn_module=True))
+    rng = np.random.default_rng(5)
+    g, s, nq_per = 8, 1, 2
+    support = {
+        "img_s": rng.normal(size=(g, s, 56, 56, 3)).astype(np.float32),
+        "joints_s": rng.uniform(5, 50, size=(g, s, K, 2)).astype(np.float32),
+        "vis_s": np.ones((g, s, K), np.float32),
+        "binary_adj": np.tile(np.eye(K, k=1, dtype=np.float32)
+                              + np.eye(K, k=-1, dtype=np.float32),
+                              (g, 1, 1)),
+    }
+    query = {
+        "img_q": rng.normal(size=(g * nq_per, 56, 56, 3)).astype(np.float32),
+        "group": np.repeat(np.arange(g, dtype=np.int32), nq_per),
+    }
+    est1 = PoseEstimator(cfg, rng=jax.random.PRNGKey(0))
+    from tests.test_fused_decoder import _randomize_kpt_out
+    head_params = _randomize_kpt_out(est1.head_params)
+    est1 = PoseEstimator(cfg, backbone_params=est1.backbone_params,
+                         head_params=head_params)
+    pred1, _ = est1.forward_cached(support, query)
+
+    cfg_flash = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, use_flash=True))
+    pallas_config.set_encoder_stack(True)
+    pallas_config.set_decoder_stack(True)
+    pallas_config.set_vit_pair_blocks(True)
+    try:
+        est8 = PoseEstimator(cfg_flash,
+                             backbone_params=est1.backbone_params,
+                             head_params=head_params, mesh=make_mesh())
+        pred8, _ = est8.forward_cached(support, query)
+    finally:
+        pallas_config.set_encoder_stack(None)
+        pallas_config.set_decoder_stack(None)
+        pallas_config.set_vit_pair_blocks(None)
+    d = np.abs(np.asarray(pred1) - np.asarray(pred8))
+    assert np.median(d) < 5e-3, np.median(d)
+    assert (d > 0.05).mean() < 0.05, (d > 0.05).mean()
