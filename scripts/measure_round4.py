@@ -6,8 +6,10 @@ docs/performance.md) and writes the winners to pallas_tuned.json, which
 ops/pallas_config reads as the process-wide default. One command, so a
 short tunnel window is enough to both measure and flip:
 
-    python scripts/measure_round4.py            # all three
+    python scripts/measure_round4.py            # all three + validation
     python scripts/measure_round4.py enc dec    # subset
+    python scripts/measure_round4.py --no-validate   # skip the final
+        # end-to-end compile validation of the flipped configuration
 
 Each bench prints `speedup: X.XXXx` (variant vs the hardware-validated
 round-3 chain); a variant wins when speedup >= 1.02 (the ±2 ms tunnel
@@ -58,7 +60,8 @@ def run_bench(script: str) -> "tuple[float | None, str]":
 
 
 def main() -> int:
-    names = [ALIASES.get(a, a) for a in sys.argv[1:]] or list(BENCHES)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    names = [ALIASES.get(a, a) for a in args] or list(BENCHES)
     bad = [n for n in names if n not in BENCHES]
     if bad:
         print(f"unknown bench(es): {bad}; known: {list(BENCHES)}")
@@ -89,10 +92,37 @@ def main() -> int:
         print(f"  speedup {speedup:.3f}x -> "
               f"{'ENABLE' if win else 'keep chain'}", flush=True)
 
+    prev = None
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read()
     with open(path, "w") as f:
         json.dump(data, f, indent=2, sort_keys=True)
         f.write("\n")
     print(f"wrote {path}: {data['switches']}", flush=True)
+
+    if any(data["switches"].values()) and "--no-validate" not in sys.argv:
+        # compile-validate the flipped configuration end to end (the A/B
+        # benches compile each kernel in isolation; this catches
+        # interactions) — on failure roll the sidecar back
+        print("validating flipped configuration (synthetic eval)...",
+              flush=True)
+        proc = subprocess.run(
+            [sys.executable, "-u", "test.py", "configs/synthetic.py",
+             "--work-dir", "/tmp/measure_r4_validate",
+             "--cfg-options", "model.use_flash=True"],
+            capture_output=True, text=True, timeout=1800, cwd=ROOT)
+        if proc.returncode != 0:
+            print("VALIDATION FAILED — rolling back pallas_tuned.json; "
+                  f"tail:\n{(proc.stdout + proc.stderr)[-2000:]}",
+                  flush=True)
+            if prev is None:
+                os.remove(path)
+            else:
+                with open(path, "w") as f:
+                    f.write(prev)
+            return 1
+        print("validation ok", flush=True)
     return 1 if failures else 0
 
 
