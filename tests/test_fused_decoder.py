@@ -272,3 +272,55 @@ def test_decoder_stack_row_grouping_consistent():
                                       np.asarray(o1[:, 0]))
         np.testing.assert_array_equal(np.asarray(p4[:, i]),
                                       np.asarray(p1[:, 0]))
+
+
+@pytest.mark.slow  # production-width interpret run: a few minutes of jit
+def test_decoder_stack_production_width_bf16():
+    """The one dimension class the toy tests miss: production
+    cross-attention width (HW=256 image tokens, K=100 -> Kp=128) with
+    bf16 tokens (the head_dtype the bench runs) and batch 4 (row
+    group 2). Stack vs the per-layer fused chain, trajectory compared."""
+    from edgecape_tpu.models.transformer import Decoder
+    from edgecape_tpu.ops import pallas_config
+
+    b, k, hw, c, f = 4, 100, 256, 256, 384
+    dec = Decoder(d_model=c, nhead=8, dim_feedforward=f, num_layers=3,
+                  dropout=0.0, attn_bias=True, max_hops=4,
+                  num_feats=c // 2, use_flash=True)
+    rng = np.random.default_rng(17)
+    kp_tokens = jnp.asarray(rng.normal(size=(b, k, c)) * 0.2,
+                            jnp.bfloat16)
+    img_tokens = jnp.asarray(rng.normal(size=(b, hw, c)) * 0.2,
+                             jnp.bfloat16)
+    img_pos = jnp.asarray(rng.normal(size=(1, hw, c)) * 0.5, jnp.float32)
+    proposals = jnp.asarray(rng.uniform(0.1, 0.9, size=(b, k, 2)),
+                            jnp.float32)
+    adj = jnp.asarray(rng.uniform(0, 0.4, size=(b, 2, k, k)), jnp.float32)
+    hops = jnp.asarray(rng.uniform(0, 1, size=(b, k, k, 5)), jnp.float32)
+    valid = np.ones((b, k), bool)
+    valid[0, 64:] = False
+    kp_valid = jnp.asarray(valid)
+
+    params = dec.init(
+        {"params": jax.random.PRNGKey(0)},
+        kp_tokens[:1], img_tokens[:1], kp_valid=kp_valid[:1],
+        img_pos=img_pos, initial_proposals=proposals[:1], adj=adj[:1],
+        hop_stack=hops[:1])["params"]
+    params = _randomize_kpt_out({"decoder": params})["decoder"]
+
+    common = dict(kp_valid=kp_valid, img_pos=img_pos,
+                  initial_proposals=proposals, adj=adj, hop_stack=hops)
+    _, chain_pts = dec.apply({"params": params}, kp_tokens, img_tokens,
+                             **common)
+    pallas_config.set_decoder_stack(True)
+    try:
+        _, stack_pts = dec.apply({"params": params}, kp_tokens,
+                                 img_tokens, method=Decoder.decode_stacked,
+                                 **common)
+    finally:
+        pallas_config.set_decoder_stack(None)
+    m = np.asarray(valid)
+    d = np.abs(np.asarray(chain_pts[-1]) - np.asarray(stack_pts[-1]))[m]
+    assert d.max() > 0.0          # different implementation actually ran
+    assert np.median(d) < 2e-3, np.median(d)
+    assert np.quantile(d, 0.95) < 0.01, np.quantile(d, 0.95)
