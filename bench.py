@@ -320,16 +320,47 @@ def _retryable(rc: int, output: str) -> bool:
     return rc == -9 or any(m in output for m in _RETRYABLE_MARKERS)
 
 
+# Wall-clock budget bookkeeping (round-4 postmortem: bench.py's retry
+# worst case — preflight 3x240s+backoffs, then 8 phases x 3x1500s — is
+# unbounded relative to the DRIVER's own timeout, which killed the
+# process (rc=124) before the always-print-JSON line could fire. A
+# resilience contract that can outlive the driver's patience is not a
+# contract). All child timeouts and backoff sleeps are clamped against
+# one deadline computed at start; _RESERVE_S is held back so the final
+# JSON line always gets printed while time remains.
+_RESERVE_S = 15.0
+_MIN_ATTEMPT_S = 20.0
+
+
+def _remaining(deadline: Optional[float]) -> float:
+    if deadline is None:
+        return float("inf")
+    return deadline - time.monotonic() - _RESERVE_S
+
+
 def _attempts(argv, label: str, *, max_attempts: int, backoff_scale: float,
-              timeout_s: float):
+              timeout_s: float, deadline: Optional[float] = None):
     """Retry loop around one phase subprocess. Returns (json_dict | None,
-    error_message | None)."""
+    error_message | None). Child timeouts and backoff sleeps are clamped
+    to the global deadline; once fewer than _MIN_ATTEMPT_S remain the
+    phase is skipped so the caller can still print the final JSON."""
     err = None
     for attempt in range(1, max_attempts + 1):
-        rc, output = _run_child(argv, timeout_s)
+        rem = _remaining(deadline)
+        if rem < _MIN_ATTEMPT_S:
+            return None, (err or "skipped: wall-clock budget exhausted")
+        rc, output = _run_child(argv, min(timeout_s, rem))
         lines = [ln for ln in output.splitlines() if ln.startswith("{")]
         if rc == 0 and lines:
-            return json.loads(lines[-1]), None
+            try:
+                return json.loads(lines[-1]), None
+            except ValueError:
+                # a log/traceback line that happens to start with '{' must
+                # not abort main() — the always-print contract holds
+                err = f"rc=0 but unparseable JSON tail: {lines[-1][:300]}"
+                print(f"[bench] phase {label} attempt "
+                      f"{attempt}/{max_attempts}: {err}", file=sys.stderr)
+                break
         err = (f"rc={rc}; tail: {output[-500:]}" if output
                else f"rc={rc}; no output")
         retryable = _retryable(rc, output)
@@ -341,6 +372,8 @@ def _attempts(argv, label: str, *, max_attempts: int, backoff_scale: float,
             break  # real failures (e.g. a bug) fail fast, no backoff
         if attempt < max_attempts:
             delay = 30.0 * (2 ** (attempt - 1)) * backoff_scale
+            if delay >= _remaining(deadline):
+                return None, err  # sleeping would eat the budget
             print(f"[bench] retrying {label} in {delay:.0f}s",
                   file=sys.stderr)
             time.sleep(delay)
@@ -348,7 +381,8 @@ def _attempts(argv, label: str, *, max_attempts: int, backoff_scale: float,
 
 
 def preflight(backoff_scale: float = 1.0, max_attempts: int = 3,
-              timeout_s: float = 240.0) -> Optional[str]:
+              timeout_s: float = 240.0,
+              deadline: Optional[float] = None) -> Optional[str]:
     """Cheap backend probe (tiny jit matmul in a subprocess with a hard
     timeout) so a dead/hung backend is diagnosed in one line BEFORE any
     15-minute phase. Returns None if healthy, else the error string."""
@@ -362,7 +396,8 @@ def preflight(backoff_scale: float = 1.0, max_attempts: int = 3,
             "'init_s': round(time.time()-t0,1)}))")
     argv = [sys.executable, "-c", code]
     res, err = _attempts(argv, "preflight", max_attempts=max_attempts,
-                         backoff_scale=backoff_scale, timeout_s=timeout_s)
+                         backoff_scale=backoff_scale, timeout_s=timeout_s,
+                         deadline=deadline)
     if res is not None:
         print(f"[bench] preflight ok: {json.dumps(res)}", file=sys.stderr)
         return None
@@ -373,7 +408,8 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
          shots: int = 1, with_train: bool = True, with_5shot: bool = True,
          with_fp32: bool = True, with_disk: bool = True,
          only_phases=None, max_attempts: int = 3,
-         backoff_scale: float = 1.0, phase_timeout: float = 1500.0):
+         backoff_scale: float = 1.0, phase_timeout: float = 1500.0,
+         budget_s: float = 2700.0):
     """Each phase runs in its OWN subprocess: ~15 min of full-size eval
     allocations before the train phases measurably inflated the last
     train number in-process (55 vs 23 ms/step for bf16), so phases must
@@ -384,7 +420,18 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
     per-phase retries with exponential backoff (30/60/120s) on
     backend-init failures and timeouts, and the final JSON line is
     ALWAYS printed — completed phases plus an "errors" key — so a
-    transient outage can no longer zero out the round."""
+    transient outage can no longer zero out the round.
+
+    Wall-clock budget (round-4 postmortem: the driver's own timeout
+    killed bench.py at rc=124 BEFORE the always-print line — worst-case
+    retry time was unbounded): everything above is clamped against one
+    deadline (`--budget-s`, default 2700s, well under the driver's
+    observed kill window; env BENCH_BUDGET_S overrides). When the
+    preflight never succeeds, the run drops to DEGRADED mode — a single
+    short (<=120s) attempt per phase, enough to catch a backend that
+    recovered mid-run without ever risking the final JSON line. Phases
+    the budget cannot fit are recorded as skipped in "errors"."""
+    deadline = (time.monotonic() + budget_s) if budget_s > 0 else None
     # (phase, shots, iters) — headline first so it gets the healthiest
     # backend window; secondary phases use fewer iters to bound wall time
     specs = [("eval", shots, iters)]
@@ -407,20 +454,30 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
 
     out, errors = {}, {}
     pf_err = preflight(backoff_scale=backoff_scale,
-                       max_attempts=max_attempts)
+                       max_attempts=max_attempts, deadline=deadline)
     if pf_err is not None:
         errors["preflight"] = pf_err
-        print("[bench] preflight NEVER succeeded; attempting phases "
-              "anyway (they carry their own retries)", file=sys.stderr)
+        # DEGRADED mode: the backend looks dead/hung. One short attempt
+        # per phase still catches a mid-run recovery, but 8 phases x
+        # 120s stays bounded (<=16 min) so the final JSON always lands
+        # inside the budget; full retries here is how round 4 died.
+        max_attempts = 1
+        phase_timeout = min(phase_timeout, 120.0)
+        print("[bench] preflight NEVER succeeded; DEGRADED mode — one "
+              f"<= {phase_timeout:.0f}s attempt per phase",
+              file=sys.stderr)
     for phase, ph_shots, ph_iters in specs:
+        label = phase if ph_shots == shots else f"{phase}_{ph_shots}shot"
+        if _remaining(deadline) < _MIN_ATTEMPT_S:
+            errors[label] = "skipped: wall-clock budget exhausted"
+            continue
         argv = [sys.executable, os.path.abspath(__file__),
                 f"--phase={phase}", f"--groups={groups}",
                 f"--iters={ph_iters}", f"--warmup={warmup}",
                 f"--shots={ph_shots}"]
-        label = phase if ph_shots == shots else f"{phase}_{ph_shots}shot"
         res, err = _attempts(argv, label, max_attempts=max_attempts,
                              backoff_scale=backoff_scale,
-                             timeout_s=phase_timeout)
+                             timeout_s=phase_timeout, deadline=deadline)
         if res is not None:
             out.update(res)
         else:
@@ -448,6 +505,7 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
 if __name__ == "__main__":
     groups, shots, iters, warmup, phase = 34, 1, 10, 2, None
     max_attempts, backoff_scale, phase_timeout = 3, 1.0, 1500.0
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 2700.0))
     only = None
     for a in sys.argv[1:]:
         if a.startswith("--groups="):
@@ -468,6 +526,8 @@ if __name__ == "__main__":
             backoff_scale = float(a.split("=")[1])
         if a.startswith("--phase-timeout="):
             phase_timeout = float(a.split("=")[1])
+        if a.startswith("--budget-s="):        # global wall-clock budget;
+            budget_s = float(a.split("=")[1])  # <=0 disables the deadline
     if phase is not None:
         print(json.dumps(run_phase(phase, groups, iters, warmup, shots)))
     else:
@@ -477,4 +537,5 @@ if __name__ == "__main__":
              with_fp32="--no-fp32" not in sys.argv,
              with_disk="--no-disk" not in sys.argv,
              only_phases=only, max_attempts=max_attempts,
-             backoff_scale=backoff_scale, phase_timeout=phase_timeout)
+             backoff_scale=backoff_scale, phase_timeout=phase_timeout,
+             budget_s=budget_s)

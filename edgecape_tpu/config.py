@@ -83,11 +83,16 @@ class ModelConfig:
 def resolve_use_flash(model: "ModelConfig") -> bool:
     """Tri-state use_flash -> bool: None means 'auto' (Pallas fused
     attention on TPU backends); True/False are explicit and honored
-    as-is. Import of jax deferred so config import stays light."""
+    as-is. Import of jax deferred so config import stays light.
+    Raises on any other value: an unvalidated string here would make
+    the explicit-disable (strict-parity) knob silently ENABLE Pallas."""
     if model.use_flash is None:
         import jax
         return jax.default_backend() == "tpu"
-    return bool(model.use_flash)
+    if not isinstance(model.use_flash, bool):
+        raise TypeError("model.use_flash must be True/False/None; got "
+                        f"{model.use_flash!r}")
+    return model.use_flash
 
 
 @dataclass
@@ -187,11 +192,36 @@ class Config:
             json.dump(dataclasses.asdict(self), f, indent=2, default=str)
 
 
+def _declared_type(obj: Any, name: str) -> str:
+    """The field's DECLARED annotation string ('' if unknown). The runtime
+    value can be None (use_flash's tri-state default), which an isinstance
+    check on the current value cannot see — overriding
+    `model.use_flash=False` on a config that leaves it None must still be
+    validated, or the string 'False' would later resolve truthy."""
+    for f in dataclasses.fields(obj):
+        if f.name == name:
+            return str(f.type)
+    return ""
+
+
 def _coerce(obj: Any, field: str, value: Any) -> Any:
     """Validate an override value against the declared field type so a typo
     like use_udp=notabool errors instead of silently storing a truthy
     string in a bool field."""
     current = getattr(obj, field)
+    decl = _declared_type(obj, field)
+    if decl in ("bool", "Optional[bool]", "typing.Optional[bool]"):
+        optional = "Optional" in decl
+        if isinstance(value, bool) or (value is None and optional):
+            return value
+        if isinstance(value, str):
+            low = value.lower()
+            if low in ("true", "false"):
+                return low == "true"
+            if low in ("none", "null") and optional:
+                return None
+        raise ValueError(f"config field {field!r} is a bool; got {value!r} "
+                         "(use true/false)")
     if isinstance(current, bool):
         if isinstance(value, bool):
             return value

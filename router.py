@@ -146,7 +146,10 @@ class Router:
     def support(self, payload: dict) -> dict:
         rep = self._pick_for_support()
         try:
-            out = rep.request("/support", payload)
+            # through _forward so inflight counting covers /support — the
+            # most expensive call; otherwise concurrent registrations all
+            # see inflight=0 and pile onto the same replica
+            out = self._forward(rep, "/support", payload)
         except (urllib.error.URLError, OSError) as e:
             self._mark_dead(rep)
             raise LookupError(

@@ -57,3 +57,39 @@ def test_bench_forced_backend_failure_retries_and_prints_partial_json():
     assert "backend-init/timeout" in stderr
     # preflight diagnostic ran before the phases
     assert "preflight" in stderr
+
+
+PHASE_LABELS = ("eval", "eval_fp32", "eval5", "disk_eval", "train_fp32",
+                "train_bf16", "train_fp32_5shot", "train_bf16_5shot")
+
+
+@pytest.mark.slow
+def test_bench_full_phase_list_respects_budget_under_outer_deadline():
+    """Round-4 postmortem: the driver's outer timeout (rc=124) killed
+    bench.py BEFORE the always-print-JSON line because worst-case retry
+    wall time was unbounded. Contract now: with the FULL default phase
+    list, default retry counts/backoffs, a dead backend, and a
+    driver-style outer deadline, bench.py must finish WITHIN its
+    --budget-s (degraded mode: preflight exhausts -> one short attempt
+    per phase -> skip the rest) and the last stdout line must still be
+    parseable JSON naming every phase in "errors"."""
+    env = dict(os.environ, JAX_PLATFORMS="bogus")
+    outer_deadline = 300         # the simulated driver kill window
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--budget-s=75"],   # all other args default
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        timeout=outer_deadline)  # raising TimeoutExpired = contract broken
+    stdout = proc.stdout.decode()
+    stderr = proc.stderr.decode()
+
+    json_lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+    assert json_lines, f"no JSON line printed:\n{stdout}\n{stderr}"
+    out = json.loads(json_lines[-1])
+    assert "errors" in out
+    assert "preflight" in out["errors"]
+    # EVERY phase of the full default list is accounted for — attempted
+    # (degraded single short attempt) or explicitly skipped, never lost
+    for label in PHASE_LABELS:
+        assert label in out["errors"], f"{label} missing: {out['errors']}"
+    assert proc.returncode == 2          # nothing measured, JSON stands
+    assert "DEGRADED" in stderr

@@ -7,6 +7,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -58,6 +59,8 @@ def test_main_writes_flips_and_keeps_chain_on_loss(tmp_path, monkeypatch):
 
 
 def test_main_validation_rollback(tmp_path, monkeypatch):
+    """A flipped configuration that FAILS the numeric gate (e.g. a
+    silent coordinate shift) must roll the sidecar back verbatim."""
     m = _load()
     win = _stub(tmp_path, "win.py", "print('speedup: 1.500x')\n")
     monkeypatch.setattr(m, "BENCHES", {"encoder_stack": win})
@@ -65,21 +68,75 @@ def test_main_validation_rollback(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["measure_round4.py"])
     prior = {"switches": {"decoder_stack": True}, "measurements": {}}
     (tmp_path / "pallas_tuned.json").write_text(json.dumps(prior))
-    # ROOT has no test.py -> the validation subprocess fails -> rollback
-    monkeypatch.setattr(subprocess, "run", _fail_on_test_py(
-        subprocess.run))
+    monkeypatch.setattr(
+        m, "validate_flipped",
+        lambda: (False, '{"ok": false, "max_delta_px": 9.1}'))
     assert m.main() == 1
     data = json.load(open(tmp_path / "pallas_tuned.json"))
     assert data == prior                      # rolled back verbatim
 
 
-def _fail_on_test_py(real_run):
-    def run(argv, **kw):
-        if any(str(a).endswith("test.py") for a in argv):
-            class P:                           # noqa: N801
-                returncode = 1
-                stdout = ""
-                stderr = "compile failed"
-            return P()
+def test_main_validation_pass_keeps_sidecar(tmp_path, monkeypatch):
+    m = _load()
+    win = _stub(tmp_path, "win.py", "print('speedup: 1.500x')\n")
+    monkeypatch.setattr(m, "BENCHES", {"encoder_stack": win})
+    monkeypatch.setattr(m, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["measure_round4.py"])
+    monkeypatch.setattr(
+        m, "validate_flipped",
+        lambda: (True, '{"ok": true, "max_delta_px": 0.01}'))
+    assert m.main() == 0
+    data = json.load(open(tmp_path / "pallas_tuned.json"))
+    assert data["switches"] == {"encoder_stack": True}
+
+
+def test_run_bench_survives_hung_child(tmp_path, monkeypatch):
+    """A hung bench child (the axon outage mode) must be a retryable
+    failure, not an uncaught TimeoutExpired that crashes the harvest
+    and loses already-measured winners."""
+    m = _load()
+    hang = _stub(tmp_path, "hang.py", "import time; time.sleep(60)\n")
+    calls = []
+    real_run = subprocess.run
+
+    def fake_run(argv, **kw):
+        calls.append(argv)
+        kw["timeout"] = 1 if str(argv[-1]).endswith("hang.py") else \
+            kw.get("timeout")
         return real_run(argv, **kw)
-    return run
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(m, "RETRY_BACKOFF", ())    # no sleeps in tests
+    speedup, tail = m.run_bench(hang)
+    assert speedup is None
+    assert "timed out" in tail
+
+
+def test_wait_for_backend_then_harvest(tmp_path, monkeypatch):
+    """--wait-for-backend polls until the probe answers, then harvests
+    and (unattended mode) re-captures the bench headline."""
+    m = _load()
+    win = _stub(tmp_path, "win.py", "print('speedup: 1.300x')\n")
+    monkeypatch.setattr(m, "BENCHES", {"encoder_stack": win})
+    monkeypatch.setattr(m, "ROOT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv",
+                        ["measure_round4.py", "--wait-for-backend=1",
+                         "--no-validate"])
+    probes = iter([False, False, True])
+    monkeypatch.setattr(m, "backend_ready",
+                        lambda *a, **kw: next(probes))
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    bench_ran = []
+    monkeypatch.setattr(m, "run_final_bench",
+                        lambda: bench_ran.append(1) or 0)
+    assert m.main() == 0
+    assert bench_ran == [1]
+    data = json.load(open(tmp_path / "pallas_tuned.json"))
+    assert data["switches"] == {"encoder_stack": True}
+
+
+def test_wait_for_backend_gives_up(monkeypatch):
+    m = _load()
+    monkeypatch.setattr(m, "backend_ready", lambda *a, **kw: False)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    assert m.wait_for_backend(max_hours=1e-9) is False
