@@ -161,12 +161,25 @@ def _run(tokens, pos, key_valid, layers, *, num_heads: int, eps: float,
     kb = jnp.pad(kb, [(0, 0), (0, n_pad - n)], constant_values=-jnp.inf)
     kb = kb[:, None, :]                                     # [B, 1, Np]
 
+    # Row-group selection against the 16MB scoped-vmem limit. The
+    # estimate must count the f32 OUT block (4B, not 2B) and the
+    # kernel-internal scratch (q/k/v, fp32 score+exp blocks, FFN
+    # intermediates): at B=512/group=8 the old 2-term estimate said
+    # 9.0M while the compiler measured 16.81M and refused to compile.
+    out_bytes = jnp.dtype(tokens.dtype).itemsize
+    scratch = (3 * n_pad * c * 2             # q, k, v (bf16)
+               + 2 * n_pad * n_pad * 4       # score + exp (fp32)
+               + n_pad * n_pad * 2           # softmax probs (bf16)
+               + 2 * n_pad * c * 4           # att out + LN1 out (fp32)
+               + 2 * n_pad * f_dim * 4)      # FFN hidden (fp32 + relu)
+    weights = num_layers * (4 * c * c * 2 + 2 * c * f_dim * 2
+                            + 8 * max(c, f_dim) * 4)
     group = 1
     for g in (8, 4, 2):
-        need = (2 * 2 * g * n_pad * c * 2        # tokens/out double-buffer
-                + num_layers * (4 * c * c * 2 + 2 * c * f_dim * 2)
-                + 2 * n_pad * n_pad * 4 + n_pad * f_dim * 4)
-        if b % g == 0 and need < 10 * 1024 * 1024:
+        need = (2 * g * n_pad * c * 2        # tokens in, double-buffered
+                + 2 * g * n_pad * c * out_bytes   # out, double-buffered
+                + weights + scratch)
+        if b % g == 0 and need < 12 * 1024 * 1024:
             group = g
             break
 

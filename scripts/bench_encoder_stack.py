@@ -1,7 +1,8 @@
 """Measure the whole-encoder-in-one-kernel path (fused_encoder_stack)
-against the per-layer chain at the eval head shape (510-query chunk:
-512 rows of 356 tokens -> 384 padded, d_model 256, 8 heads, FFN 384,
-3 layers).
+against the per-layer chain at the eval head shape (510-query chunk —
+34 groups x 15 queries, the EXACT production row count so the kernel's
+row-group selection matches what bench.py's eval phase runs — 356
+tokens -> 384 padded, d_model 256, 8 heads, FFN 384, 3 layers).
 
 Round-3 roofline: the encoder stage runs ~14 ms vs a ~5 ms
 chained-matmul ideal, attributed to serial MXU-burst/VPU-pass chains
@@ -34,7 +35,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/edgecape_jax_cache")
 
 from edgecape_tpu.ops import fused_encoder as fe  # noqa: E402
 
-B, N, C, F, H, LAYERS = 512, 356, 256, 384, 8, 3
+B, N, C, F, H, LAYERS = 510, 356, 256, 384, 8, 3
 ITERS, RUNS = 8, 3
 
 
