@@ -217,7 +217,7 @@ def bench_disk_eval(mcfg, *, num_classes: int = 10, images_per_class: int = 20,
         os.makedirs(res_dir, exist_ok=True)
         results = run_eval(ds, est, batch_size=batch_size,
                            res_folder=res_dir, cache_supports=True)
-        return float(results["images_per_sec"])
+        return results
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -275,8 +275,16 @@ def run_phase(phase: str, groups: int, iters: int, warmup: int,
                        iters=max(iters // 2, 3), warmup=warmup, shots=5)
         return {"value_5shot": round(v, 2)}
     if phase == "disk_eval":
-        v = bench_disk_eval(_model_cfg("bfloat16"))
-        return {"value_disk": round(v, 2)}
+        res = bench_disk_eval(_model_cfg("bfloat16"))
+        # noisiest phase on the 1-core sandbox (PNG decode serializes on
+        # the single core): ship the decode-vs-device attribution so a
+        # regression in this key can be blamed on the right side
+        return {"value_disk": round(float(res["images_per_sec"]), 2),
+                "value_disk_split": {
+                    "host_collate_s": res.get("host_collate_seconds"),
+                    "device_wait_s": res.get("device_wait_seconds"),
+                    "dispatch_s": res.get("dispatch_seconds"),
+                    "wall_s": res.get("eval_seconds")}}
     if phase in ("train_fp32", "train_bf16"):
         # BOTH dtypes: fp32 is the shipped parity recipe
         # (configs/_base.py trains fp32), bf16 the fast opt-in

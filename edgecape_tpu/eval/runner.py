@@ -90,8 +90,22 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
                 chunk = chunk + [chunk[-1]]
             chunks.append((chunk, real))
         pool = ThreadPoolExecutor(max_workers=1)
+        # decode-vs-device attribution: the phases OVERLAP (that is the
+        # point of the pipeline), so the two sums do not add up to wall
+        # time — they say which side is the bottleneck when the
+        # throughput number moves (the 1-core sandbox's disk phase is
+        # host-decode-bound; a real host is device-bound)
+        timings = {"host_collate_s": 0.0, "device_wait_s": 0.0,
+                   "dispatch_s": 0.0}
+
+        def timed_collate(chunk):
+            t = time.time()
+            out = dataset.collate_group(chunk)
+            timings["host_collate_s"] += time.time() - t
+            return out
+
         if chunks:
-            pending = pool.submit(dataset.collate_group, chunks[0][0])
+            pending = pool.submit(timed_collate, chunks[0][0])
 
         def drain(item):
             """Materialize a finished chunk's device predictions and turn
@@ -100,7 +114,10 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
             nonlocal n_done
             pred_norm, query_group, real_groups, meta = item
             n_real = int(np.sum(query_group < real_groups))
-            coords = np.asarray(pred_norm)[:n_real] * size
+            td = time.time()
+            pred_host = np.asarray(pred_norm)   # device wait (materialize)
+            timings["device_wait_s"] += time.time() - td
+            coords = pred_host[:n_real] * size
             meta = {kk: (v[:n_real] if not isinstance(v, list)
                          else v[:n_real]) for kk, v in meta.items()}
             preds_img = transform_preds_batch(
@@ -120,9 +137,13 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
             support, query, meta = pending.result()
             real_groups = chunks[ci][1]
             if ci + 1 < len(chunks):
-                pending = pool.submit(dataset.collate_group,
-                                      chunks[ci + 1][0])
+                pending = pool.submit(timed_collate, chunks[ci + 1][0])
+            # dispatch cost; under async dispatch first-call jit compile
+            # may land here OR in device_wait (wherever the runtime
+            # first blocks) — steady-state both are near zero
+            tf = time.time()
             pred_norm, _ = estimator.forward_cached(support, query)
+            timings["dispatch_s"] += time.time() - tf
             prev, in_flight = in_flight, (pred_norm, query["group"],
                                           real_groups, meta)
             if prev is not None:
@@ -177,6 +198,10 @@ def run_eval(dataset: MP100Dataset, estimator: PoseEstimator,
     results["eval_seconds"] = round(time.time() - t0, 3)
     results["images_per_sec"] = round(n_done / max(time.time() - t0, 1e-9),
                                       2)
+    if cache_supports:
+        results["host_collate_seconds"] = round(timings["host_collate_s"], 3)
+        results["device_wait_seconds"] = round(timings["device_wait_s"], 3)
+        results["dispatch_seconds"] = round(timings["dispatch_s"], 3)
     return results
 
 

@@ -38,6 +38,21 @@ import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+class ReplicaHTTPError(Exception):
+    """The replica answered with an HTTP error status: an application-
+    level rejection from a LIVE replica (transport worked). Deliberately
+    NOT a urllib.error.URLError subclass — HTTPError is, and letting it
+    reach the (URLError, OSError) transport-failure handlers marked a
+    healthy replica dead on any routine 400 (e.g. the unknown-context
+    window between a replica-side /reload and the router's unpin)."""
+
+    def __init__(self, status: int, body: dict):
+        super().__init__(
+            f"replica returned {status}: {body.get('error', body)}")
+        self.status = status
+        self.body = body
+
+
 class Replica:
     """One backend serve.py endpoint + its liveness/load bookkeeping."""
 
@@ -58,8 +73,15 @@ class Replica:
             req = urllib.request.Request(
                 self.url + path, data=body,
                 headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return json.loads(resp.read())
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            try:
+                body = json.loads(e.read())
+            except Exception:  # noqa: BLE001 — non-json error page
+                body = {"error": str(e.reason)}
+            raise ReplicaHTTPError(e.code, body) from e
 
 
 class Router:
@@ -172,6 +194,17 @@ class Router:
             raise LookupError("context lost; re-register the support")
         try:
             return self._forward(rep, path, payload)
+        except ReplicaHTTPError as e:
+            if e.status == 400:
+                # the replica is alive but no longer knows this context
+                # (its /reload landed between our routing lookup and the
+                # forward): unpin and hand the client the re-register
+                # contract — NOT a liveness event
+                with self.lock:
+                    self.routes.pop(cid, None)
+                raise LookupError(
+                    "context lost; re-register the support") from e
+            raise
         except (urllib.error.URLError, OSError) as e:
             self._mark_dead(rep)
             raise LookupError(
@@ -194,6 +227,12 @@ class Router:
         for rep in live:
             try:
                 out = rep.request("/reload", payload)
+            except ReplicaHTTPError as e:
+                # reload rejected (e.g. checkpoint structure mismatch):
+                # the replica keeps serving its CURRENT weights — record
+                # the error, do not mark it dead, do not unpin
+                results[rep.url] = {"error": str(e), "status": e.status}
+                continue
             except (urllib.error.URLError, OSError) as e:
                 self._mark_dead(rep)
                 results[rep.url] = {"error": str(e)}

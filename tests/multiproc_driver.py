@@ -19,6 +19,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
+def large_gather_plan(pid: int):
+    """(n_local, k_local) for the gather_large mode: ragged record
+    counts AND ragged keypoint dims across processes, ~10k records
+    total over 3 processes."""
+    return 3400 - 7 * pid, 6 + 4 * pid
+
+
+def large_gather_record(pid: int, i: int, k: int):
+    """Deterministic record for (pid, i); every float is a small
+    multiple of 2^-3, exactly representable in float32, so the
+    gathered output can be asserted bit-identical after json."""
+    return {
+        "keypoints": [[pid + i * 0.125, float(j), float((i * j) % 7)]
+                      for j in range(k)],
+        "center": [float(pid), i * 0.5],
+        "scale": [0.25, 0.25 + pid],
+        "area": 2.0 * pid + i,
+        "score": 0.875,
+        "image_id": (1 << 40) + pid * 1_000_000 + i,  # >2^32: hi/lo path
+        "bbox_id": pid * 100_000 + i,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--coordinator", required=True)
@@ -28,7 +51,7 @@ def main():
     p.add_argument("--ann", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--mode", default="eval",
-                   choices=["eval", "train", "gather"])
+                   choices=["eval", "train", "gather", "gather_large"])
     args = p.parse_args()
 
     import jax
@@ -59,6 +82,26 @@ def main():
         if pid == 0:
             with open(args.out, "w") as f:
                 json.dump(gathered, f)
+        return
+
+    if args.mode == "gather_large":
+        # scale stress: ~10k records across 3 processes with ragged
+        # per-process K AND counts — the fixed-shape gather's first
+        # large payload (the 2-process tests use 5 records total).
+        # Every value is exactly representable in float32 so the test
+        # can assert bit-identical equality after the json round-trip.
+        import resource
+
+        from edgecape_tpu.eval.runner import _allgather_records
+        pid = args.process_id
+        n_local, k_local = large_gather_plan(pid)
+        records = [large_gather_record(pid, i, k_local)
+                   for i in range(n_local)]
+        gathered = _allgather_records(records)
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        if pid == 0:
+            with open(args.out, "w") as f:
+                json.dump({"records": gathered, "peak_rss_mb": peak_mb}, f)
         return
 
     from edgecape_tpu.config import Config, DataConfig, ModelConfig, \

@@ -187,6 +187,12 @@ def test_cached_eval_matches_uncached(synth_root):
     for key in ["PCK", "mPCK", "EPE"]:
         assert abs(r1[key] - r2[key]) < 1e-6 or \
             abs(r1[key] - r2[key]) / max(abs(r1[key]), 1e-9) < 0.02
+    # decode-vs-device attribution (bench.py value_disk_split) ships on
+    # the cached path only
+    for key in ["host_collate_seconds", "device_wait_seconds",
+                "dispatch_seconds"]:
+        assert key in r2 and r2[key] >= 0.0, key
+        assert key not in r1, key
 
 
 @pytest.mark.slow

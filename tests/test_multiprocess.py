@@ -134,6 +134,41 @@ def test_two_process_train_matches_single(synth_root, tmp_path):
     np.testing.assert_allclose(dist["param_l1"], digest, rtol=1e-4)
 
 
+def test_three_process_large_ragged_gather(synth_root, tmp_path):
+    """~10k records over THREE processes with ragged per-process K and
+    counts: the fixed-shape gather's first large payload. Asserts the
+    gathered records are bit-identical to the per-process inputs
+    (process-major order) and that peak RSS stays bounded — a quadratic
+    or copy-amplified gather would blow past the cap."""
+    from tests.multiproc_driver import (large_gather_plan,
+                                        large_gather_record)
+
+    root, ann = synth_root
+    out = str(tmp_path / "gathered_large.json")
+    _spawn(3, root, ann, out, "gather_large")
+    with open(out) as f:
+        payload = json.load(f)
+    gathered = payload["records"]
+
+    expected = []
+    for pid in range(3):
+        n_local, k_local = large_gather_plan(pid)
+        k_max = max(large_gather_plan(p)[1] for p in range(3))
+        for i in range(n_local):
+            r = large_gather_record(pid, i, k_local)
+            kp = np.zeros((k_max, 3), np.float32)
+            kp[:k_local] = r["keypoints"]
+            r["keypoints"] = kp.tolist()
+            expected.append(r)
+    assert len(gathered) == len(expected) == sum(
+        large_gather_plan(p)[0] for p in range(3))
+    for got, want in zip(gathered, expected):
+        assert got == want
+    # the whole payload is ~10k x 14 x 3 floats (~2MB gathered); a sane
+    # gather on CPU jax stays far below this generous cap
+    assert payload["peak_rss_mb"] < 4096, payload["peak_rss_mb"]
+
+
 def test_two_process_ragged_record_gather(synth_root, tmp_path):
     """_allgather_records with DIFFERENT per-process K and record counts:
     keypoints zero-pad to the global max instead of raising on the row
