@@ -441,10 +441,13 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
     the budget cannot fit are recorded as skipped in "errors"."""
     deadline = (time.monotonic() + budget_s) if budget_s > 0 else None
     # (phase, shots, iters) — headline first so it gets the healthiest
-    # backend window; secondary phases use fewer iters to bound wall time
+    # backend window; secondary phases use fewer iters to bound wall time.
+    # eval_fp32 goes LAST: its program is the big UNFUSED XLA graph, and
+    # on a cold compile cache XLA takes >20 min to compile it on this
+    # 1-core host (measured 2026-08-19: the phase child burned its whole
+    # 1309s clamped timeout inside the compile) — scheduling it earlier
+    # gambles every later phase's budget on one compile.
     specs = [("eval", shots, iters)]
-    if with_fp32:
-        specs.append(("eval_fp32", shots, iters))
     if with_5shot and shots == 1:
         specs.append(("eval5", shots, iters))
     if with_disk:
@@ -455,6 +458,8 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
             # the 5-shot train step (reference configs/train/5shot_split*)
             specs += [("train_fp32", 5, max(iters // 2, 4)),
                       ("train_bf16", 5, max(iters // 2, 4))]
+    if with_fp32:
+        specs.append(("eval_fp32", shots, iters))
     if only_phases:
         keep = set(only_phases)
         specs = [(p, s, i) for (p, s, i) in specs
