@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 from typing import Optional
@@ -412,6 +413,32 @@ def preflight(backoff_scale: float = 1.0, max_attempts: int = 3,
     return err
 
 
+def _switches() -> dict:
+    try:
+        from edgecape_tpu.ops import pallas_config as _pc
+        return {"encoder_stack": _pc.encoder_stack_default(),
+                "decoder_stack": _pc.decoder_stack_default(),
+                "vit_pair_blocks": _pc.vit_pair_blocks_default()}
+    except Exception:
+        return {}
+
+
+def _emit(out: dict, errors: dict) -> None:
+    """Print the cumulative result snapshot as one JSON line. Called after
+    EVERY completed phase, not just at the end: the driver parses the LAST
+    JSON line on stdout, so each snapshot supersedes the previous one, and
+    an outer kill (the round-4 rc=124 failure mode) mid-run still leaves
+    every already-measured phase on the record — the headline phase runs
+    first, so even a phase-2 kill records the headline."""
+    snap = dict(out)
+    if errors:
+        snap["errors"] = dict(errors)
+    sw = _switches()
+    if sw:
+        snap["pallas_switches"] = sw
+    print(json.dumps(snap), flush=True)
+
+
 def main(groups: int = 34, iters: int = 10, warmup: int = 2,
          shots: int = 1, with_train: bool = True, with_5shot: bool = True,
          with_fp32: bool = True, with_disk: bool = True,
@@ -466,6 +493,17 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
                  if p in keep or f"{p}_{s}shot" in keep]
 
     out, errors = {}, {}
+    # GNU timeout sends SIGTERM first: flush the snapshot before dying so
+    # the driver still parses whatever phases completed.
+    def _on_term(signum, frame):
+        errors["killed"] = f"signal {signum} mid-run; partial results"
+        _emit(out, errors)
+        sys.stdout.flush()
+        os._exit(1)
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env: snapshots still emit
     pf_err = preflight(backoff_scale=backoff_scale,
                        max_attempts=max_attempts, deadline=deadline)
     if pf_err is not None:
@@ -495,23 +533,12 @@ def main(groups: int = 34, iters: int = 10, warmup: int = 2,
             out.update(res)
         else:
             errors[label] = err
-    if errors:
-        out["errors"] = errors
-    # record which measured kernel variants were active (audit trail:
-    # pallas_tuned.json winners apply to every phase subprocess)
-    try:
-        from edgecape_tpu.ops import pallas_config as _pc
-        out["pallas_switches"] = {
-            "encoder_stack": _pc.encoder_stack_default(),
-            "decoder_stack": _pc.decoder_stack_default(),
-            "vit_pair_blocks": _pc.vit_pair_blocks_default()}
-    except Exception:
-        pass
+        _emit(out, errors)  # cumulative snapshot survives a later kill
     # ALWAYS the last line, even on total failure: the driver parses the
-    # last JSON line and partial data beats none
-    print(json.dumps(out))
-    meta_keys = {"errors", "pallas_switches"}
-    if not any(k for k in out if k not in meta_keys):
+    # last JSON line and partial data beats none (also covers an empty
+    # spec list, where the loop above never emitted)
+    _emit(out, errors)
+    if not out:
         sys.exit(2)   # nothing measured (but the JSON above still stands)
 
 

@@ -93,3 +93,28 @@ def test_bench_full_phase_list_respects_budget_under_outer_deadline():
         assert label in out["errors"], f"{label} missing: {out['errors']}"
     assert proc.returncode == 2          # nothing measured, JSON stands
     assert "DEGRADED" in stderr
+
+
+@pytest.mark.slow
+def test_bench_sigterm_midrun_still_prints_snapshot():
+    """GNU timeout (the driver's likely kill mechanism) sends SIGTERM
+    before SIGKILL. bench.py traps it and flushes the cumulative snapshot
+    so whatever phases completed stay on the record. The TERM may land at
+    ANY point after startup (attempt, backoff sleep, child wait) — the
+    handler must produce a parseable last JSON line regardless."""
+    import signal as _signal
+    import time as _time
+    env = dict(os.environ, JAX_PLATFORMS="bogus")
+    proc = subprocess.Popen(
+        [sys.executable, BENCH, "--phases=eval", "--max-attempts=3",
+         "--backoff-scale=1", "--phase-timeout=240"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    _time.sleep(20)              # past startup + handler registration
+    proc.send_signal(_signal.SIGTERM)
+    out, err = proc.communicate(timeout=60)
+    json_lines = [ln for ln in out.decode().splitlines()
+                  if ln.startswith("{")]
+    assert json_lines, f"no JSON line printed:\n{out}\n{err.decode()}"
+    snap = json.loads(json_lines[-1])
+    assert "killed" in snap.get("errors", {}), snap
+    assert proc.returncode == 1
