@@ -285,6 +285,7 @@ def run_phase(phase: str, groups: int, iters: int, warmup: int,
                     "host_collate_s": res.get("host_collate_seconds"),
                     "device_wait_s": res.get("device_wait_seconds"),
                     "dispatch_s": res.get("dispatch_seconds"),
+                    "first_call_s": res.get("first_call_seconds"),
                     "wall_s": res.get("eval_seconds")}}
     if phase in ("train_fp32", "train_bf16"):
         # BOTH dtypes: fp32 is the shipped parity recipe

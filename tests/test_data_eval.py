@@ -190,9 +190,12 @@ def test_cached_eval_matches_uncached(synth_root):
     # decode-vs-device attribution (bench.py value_disk_split) ships on
     # the cached path only
     for key in ["host_collate_seconds", "device_wait_seconds",
-                "dispatch_seconds"]:
+                "dispatch_seconds", "first_call_seconds"]:
         assert key in r2 and r2[key] >= 0.0, key
         assert key not in r1, key
+    # the one-time jit trace+compile is booked under first_call_seconds,
+    # not smeared into the steady-state dispatch/device keys
+    assert r2["first_call_seconds"] > 0.0
 
 
 @pytest.mark.slow
